@@ -1,0 +1,200 @@
+"""Pallas TPU kernel for brute-force KNN with streaming top-K selection.
+
+The TPU-native replacement for the reference's four CUDA kernel variants
+(csrc/knn/knn.cu:28-312).  Design:
+
+* Grid ``(N, P1/TILE_P1, P2/TILE_P2)`` with the P2 axis innermost.  Each
+  program computes a (TILE_P1, TILE_P2) distance tile — the L2 path uses the
+  ``|x|^2 + |y|^2 - 2 x.y^T`` expansion so the cross term rides the MXU — and
+  merges it into a running (TILE_P1, K) top-K state.
+* The running state lives in the *output VMEM block*: consecutive P2 grid
+  steps map to the same output block, which Pallas keeps resident, so the
+  selection state never round-trips to HBM (the VMEM analog of the CUDA
+  kernels' register-resident MinK, csrc/utils/mink.cuh:41-126).
+* Top-K merge is a K-pass min-extraction over the concatenated
+  [carried-K | tile] candidates.  Ties resolve to the leftmost candidate,
+  which preserves the reference's first-seen-wins + ascending-sort semantics
+  (functions/knn.py:77-89).
+* ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
+  lengths1/row masking is applied by the caller (ops/knn.py
+  ``_apply_pad_conventions``), mirroring the split in the reference.
+
+Memory: one P1 tile of queries + one P2 tile of references + the (TILE_P1,
+K + TILE_P2) candidate buffers; everything else streams, so P1/P2 are
+unbounded (1M x 1M works in ~TILE-sized VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_INF = float("inf")  # plain float: jnp constants would be captured as operands
+
+DEFAULT_TILE_P1 = 128
+DEFAULT_TILE_P2 = 2048
+
+
+def _merge_topk(cand_d: Array, cand_i: Array, K: int):
+    """K-pass min-extraction: returns (TILE_P1, K) ascending dists + idx.
+
+    Each pass takes the row-min (first occurrence on ties), recovers its
+    index via a one-hot reduce, then masks it out.  All VPU-friendly 2D ops.
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+    out_d = []
+    out_i = []
+    for _ in range(K):
+        m = jnp.min(cand_d, axis=1)
+        am = jnp.argmin(cand_d, axis=1)
+        onehot = cols == am[:, None]
+        iv = jnp.max(jnp.where(onehot, cand_i, -1), axis=1)
+        out_d.append(m)
+        out_i.append(iv)
+        cand_d = jnp.where(onehot, _INF, cand_d)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _knn_kernel(
+    lengths2_ref,  # scalar-prefetch SMEM (N,) int32
+    p1_ref,  # VMEM (1, TILE_P1, D)
+    p2_ref,  # VMEM (1, TILE_P2, D)
+    out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
+    out_i_ref,  # VMEM (1, TILE_P1, K)
+    *,
+    K: int,
+    norm: int,
+    tile_p2: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[...] = jnp.full(out_d_ref.shape, _INF, jnp.float32)
+        out_i_ref[...] = jnp.zeros(out_i_ref.shape, jnp.int32)
+
+    x = p1_ref[0]  # (TILE_P1, D)
+    y = p2_ref[0]  # (TILE_P2, D)
+
+    D = x.shape[1]
+    if norm == 2 and D > 8:
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (TILE_P1, 1)
+        y2 = jnp.sum(y * y, axis=1, keepdims=True)  # (TILE_P2, 1)
+        xy = jax.lax.dot_general(
+            x,
+            y,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TILE_P1, TILE_P2) on the MXU
+        d = jnp.maximum(x2 + y2.T - 2.0 * xy, 0.0)
+    elif norm == 2:
+        # Small D: exact f32 per-axis accumulation on the VPU — matches the
+        # reference CUDA numerics (knn.cu:100-109) with no cancellation and
+        # no bf16 MXU rounding.
+        d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+        for di in range(D):
+            diff = x[:, di][:, None] - y[:, di][None, :]
+            d = d + diff * diff
+    else:
+        d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+        for di in range(D):
+            d = d + jnp.abs(x[:, di][:, None] - y[:, di][None, :])
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    j_global = j * tile_p2 + col
+    len2 = lengths2_ref[pl.program_id(0)]
+    d = jnp.where(j_global < len2, d, _INF)
+
+    # Carried state first so ties keep the earlier (lower-index) candidate.
+    cand_d = jnp.concatenate([out_d_ref[0], d], axis=1)
+    cand_i = jnp.concatenate([out_i_ref[0], j_global], axis=1)
+    new_d, new_i = _merge_topk(cand_d, cand_i, K)
+    out_d_ref[0] = new_d
+    out_i_ref[0] = new_i
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "norm", "tile_p1", "tile_p2", "interpret")
+)
+def knn_forward_pallas(
+    p1: Array,
+    p2: Array,
+    lengths2: Array,
+    K: int,
+    norm: int = 2,
+    tile_p1: int = DEFAULT_TILE_P1,
+    tile_p2: int = DEFAULT_TILE_P2,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Streaming brute-force KNN forward on TPU.
+
+    Args:
+        p1: (N, P1, D) queries; p2: (N, P2, D) references (f32).
+        lengths2: (N,) valid reference counts.
+        K: neighbors; norm: 1 or 2.
+
+    Returns:
+        (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
+        post-processing — callers apply the reference pad conventions.
+    """
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    tile_p1 = min(tile_p1, max(8, P1))
+    tile_p2 = min(tile_p2, max(8, P2))
+    P1pad = -(-P1 // tile_p1) * tile_p1
+    P2pad = -(-P2 // tile_p2) * tile_p2
+    if P1pad != P1:
+        p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
+    if P2pad != P2:
+        p2 = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
+    lengths2_smem = lengths2.astype(jnp.int32)
+
+    grid = (N, P1pad // tile_p1, P2pad // tile_p2)
+
+    kernel = functools.partial(_knn_kernel, K=K, norm=norm, tile_p2=tile_p2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, D), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_p2, D), lambda n, i, j, _l2: (n, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, K), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_p1, K), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, P1pad, K), jnp.float32),
+            jax.ShapeDtypeStruct((N, P1pad, K), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * P1pad * P2pad * D,
+            bytes_accessed=4 * N * (P1pad * D + P2pad * D + 2 * P1pad * K),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2_smem, p1, p2)
+
+    return out_d[:, :P1], out_i[:, :P1]

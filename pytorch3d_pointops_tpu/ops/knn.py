@@ -1,0 +1,355 @@
+"""K-nearest neighbors on padded point-cloud batches, TPU-native.
+
+Reimplements the semantics of reference ``functions/knn.py:114-250`` and the
+CUDA kernels ``csrc/knn/knn.cu`` (forward :28-455, backward :467-517) as XLA
+programs with a ``jax.custom_vjp``:
+
+* forward: brute-force O(P1*P2) distances.  Instead of the reference's four
+  CUDA register-tiling variants (V0-V3, selected by ``ChooseVersion``), we use
+  XLA's static-shape specialization: a single-shot distance matrix + top_k for
+  sizes that fit, and a ``lax.scan`` over reference-cloud tiles with a running
+  top-K merge for large sizes (the MinK streaming structure of
+  ``csrc/utils/mink.cuh:41-106`` expressed as an associative concat+top_k).
+  A Pallas kernel (``kernels/knn_pallas.py``) is used on TPU when available.
+* backward: the exact gradient formulas of ``knn.cu:503-515`` -- for L2,
+  ``2*g*(p1-p2)`` into grad_p1 and the negative scattered into grad_p2; for
+  L1, ``g*sign(p1-p2)`` with ``sign(0) = -1`` (matching the CUDA ternary).
+  The CUDA ``atomicAdd`` scatter becomes a deterministic XLA scatter-add.
+
+Padding conventions (reference knn.h:29-37, knn.py:77-89): returned ``dists``
+are *squared* L2 distances (or L1 sums), sorted ascending; entries where
+``k >= lengths2[n]`` or ``i >= lengths1[n]`` are 0 with idx 0.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jnp.ndarray
+
+_KNN = namedtuple("KNN", "dists idx knn")
+
+_INF = jnp.float32(jnp.inf)
+
+# Above this many (N*P1*P2) distance-matrix elements the forward switches from
+# the single-shot matrix to the tiled streaming scan (memory bound ~128 MB f32).
+_FULL_MATRIX_MAX_ELEMS = 32 * 1024 * 1024
+# Tile sizes for the streaming path.
+_TILE_P1 = 2048
+_TILE_P2 = 2048
+
+
+# Below this coordinate dimension, compute L2 distances by direct per-axis
+# difference accumulation on the VPU: exact f32 like the reference CUDA
+# (knn.cu:100-109) with no |x|^2+|y|^2-2xy cancellation, and no dependence on
+# the TPU MXU's default bf16 matmul precision.  At D=3 the distance FLOPs are
+# negligible next to the top-K select either way.
+_DIRECT_DIST_MAX_D = 8
+
+
+def _pairwise_dist(x: Array, y: Array, norm: int) -> Array:
+    """Pairwise distances between rows of x (..., P1, D) and y (..., P2, D).
+
+    L2 returns *squared* distances; for small D, by direct (x-y)^2
+    accumulation, otherwise via the |x|^2 + |y|^2 - 2xy MXU expansion in
+    HIGHEST precision (clamped at 0).  L1 accumulates |x_d - y_d|.
+    """
+    D = x.shape[-1]
+    if norm == 2:
+        if D <= _DIRECT_DIST_MAX_D:
+            d = jnp.zeros((*x.shape[:-1], y.shape[-2]), jnp.float32)
+            for di in range(D):
+                diff = x[..., di][..., :, None] - y[..., di][..., None, :]
+                d = d + diff * diff
+            return d
+        x2 = jnp.sum(x * x, axis=-1)
+        y2 = jnp.sum(y * y, axis=-1)
+        xy = jnp.einsum(
+            "...pd,...qd->...pq",
+            x,
+            y,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        d = x2[..., :, None] + y2[..., None, :] - 2.0 * xy
+        return jnp.maximum(d, 0.0)
+    elif norm == 1:
+        d = jnp.zeros((*x.shape[:-1], y.shape[-2]), jnp.float32)
+        for di in range(D):
+            d = d + jnp.abs(x[..., di][..., :, None] - y[..., di][..., None, :])
+        return d
+    raise ValueError("Support for 1 or 2 norm.")
+
+
+def _topk_small(d: Array, K: int):
+    """top-K smallest along the last axis; returns (vals ascending, idx)."""
+    neg_vals, idx = lax.top_k(-d, K)
+    return -neg_vals, idx
+
+
+def _knn_forward_full(p1, p2, lengths1, lengths2, K, norm):
+    """Single-shot distance matrix + top_k (small problems)."""
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    d = _pairwise_dist(p1, p2, norm)  # (N, P1, P2)
+    j_valid = jnp.arange(P2, dtype=jnp.int32)[None, :] < lengths2[:, None]
+    d = jnp.where(j_valid[:, None, :], d, _INF)
+    Kp = min(K, P2)
+    vals, idx = _topk_small(d, Kp)
+    if Kp < K:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, K - Kp)))
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, K - Kp)))
+    return vals, idx.astype(jnp.int32)
+
+
+def _knn_single_tiled(x, y, len2, K, norm, tile_p2):
+    """Streaming KNN for one cloud: scan y tiles, merge running top-K.
+
+    x: (C1, D), y: (P2pad, D) zero-padded to a multiple of tile_p2.
+    Returns dists (C1, K) ascending and global idx (C1, K).
+    """
+    P2pad, D = y.shape
+    nt = P2pad // tile_p2
+    y_tiles = y.reshape(nt, tile_p2, D)
+    offsets = jnp.arange(nt, dtype=jnp.int32) * tile_p2
+    C1 = x.shape[0]
+    j_local = jnp.arange(tile_p2, dtype=jnp.int32)
+
+    init = (
+        jnp.full((C1, K), _INF, jnp.float32),
+        jnp.zeros((C1, K), jnp.int32),
+    )
+
+    def step(carry, inp):
+        cd, ci = carry
+        yt, off = inp
+        d = _pairwise_dist(x, yt, norm)  # (C1, T2)
+        jmask = (off + j_local) < len2
+        d = jnp.where(jmask[None, :], d, _INF)
+        # Carried results go first so ties keep the lower (earlier) index,
+        # matching MinK first-seen-wins (mink.cuh:62-83).
+        cand_d = jnp.concatenate([cd, d], axis=1)
+        cand_i = jnp.concatenate(
+            [ci, jnp.broadcast_to(off + j_local, (C1, tile_p2))], axis=1
+        )
+        vals, sel = _topk_small(cand_d, K)
+        return (vals, jnp.take_along_axis(cand_i, sel, axis=1)), None
+
+    (fd, fi), _ = lax.scan(step, init, (y_tiles, offsets))
+    return fd, fi
+
+
+def _knn_forward_tiled(p1, p2, lengths1, lengths2, K, norm):
+    """Tiled streaming forward for large problems: P1 chunked via lax.map,
+    P2 streamed via lax.scan, batch via vmap."""
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    tile_p1 = min(_TILE_P1, max(8, P1))
+    tile_p2 = min(_TILE_P2, max(8, P2))
+    P1pad = -(-P1 // tile_p1) * tile_p1
+    P2pad = -(-P2 // tile_p2) * tile_p2
+    p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
+    p2p = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
+
+    def one_cloud(x, y, len2):
+        chunks = x.reshape(P1pad // tile_p1, tile_p1, D)
+        fd, fi = lax.map(
+            lambda xc: _knn_single_tiled(xc, y, len2, K, norm, tile_p2), chunks
+        )
+        return fd.reshape(P1pad, K), fi.reshape(P1pad, K)
+
+    vals, idx = jax.vmap(one_cloud)(p1p, p2p, lengths2)
+    return vals[:, :P1], idx[:, :P1]
+
+
+def _apply_pad_conventions(vals, idx, lengths1, lengths2, K, P1):
+    """Zero out rows past lengths1 and columns past lengths2
+    (reference knn.h:29-37 + knn.py:77-89 inf-mask-sort-unmask)."""
+    k_valid = (
+        jnp.arange(K, dtype=jnp.int32)[None, None, :] < lengths2[:, None, None]
+    )
+    i_valid = (
+        jnp.arange(P1, dtype=jnp.int32)[None, :, None] < lengths1[:, None, None]
+    )
+    valid = k_valid & i_valid
+    vals = jnp.where(valid, vals, 0.0)
+    idx = jnp.where(valid, idx, 0)
+    return vals, idx
+
+
+def knn_backward(p1, p2, lengths1, lengths2, idx, norm, grad_dists):
+    """Gradient of (squared) KNN distances w.r.t. p1 and p2.
+
+    Deterministic equivalent of ``KNearestNeighborBackwardKernel``
+    (knn.cu:467-517): per-(n,i,k,d) contributions, with the atomicAdd scatter
+    into grad_p2 replaced by an XLA scatter-add.  Entries with ``idx == -1``
+    (ball_query padding), ``i >= lengths1`` or ``k >= lengths2`` contribute 0.
+    """
+    N, P1, K = idx.shape
+    D = p1.shape[2]
+    valid = (
+        (jnp.arange(P1, dtype=jnp.int32)[None, :, None] < lengths1[:, None, None])
+        & (jnp.arange(K, dtype=jnp.int32)[None, None, :] < lengths2[:, None, None])
+        & (idx >= 0)
+    )
+    safe_idx = jnp.where(idx >= 0, idx, 0)
+    p2_g = jnp.take_along_axis(
+        p2[:, :, None, :], safe_idx.reshape(N, -1, 1, 1), axis=1
+    ).reshape(N, P1, K, D)
+    if norm == 1:
+        sign = jnp.where(p1[:, :, None, :] > p2_g, 1.0, -1.0)
+        diff = grad_dists[..., None] * sign
+    else:
+        diff = 2.0 * grad_dists[..., None] * (p1[:, :, None, :] - p2_g)
+    diff = jnp.where(valid[..., None], diff, 0.0)
+    grad_p1 = diff.sum(axis=2)
+
+    def scatter_one(i, v):
+        return jnp.zeros((p2.shape[1], D), jnp.float32).at[i.reshape(-1)].add(
+            v.reshape(-1, D)
+        )
+
+    grad_p2 = jax.vmap(scatter_one)(safe_idx, -diff)
+    return grad_p1, grad_p2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _knn_points_core(p1, p2, lengths1, lengths2, K, norm, impl):
+    return _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl)
+
+
+def _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl):
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    if impl == "auto":
+        impl = _default_impl(norm)
+    if impl == "pallas":
+        try:
+            from ..kernels.knn_pallas import knn_forward_pallas
+        except ImportError:  # kernels not available on this build
+            impl = "xla"
+    if impl == "pallas":
+        vals, idx = knn_forward_pallas(p1, p2, lengths2, K, norm)
+    elif N * P1 * P2 <= _FULL_MATRIX_MAX_ELEMS:
+        vals, idx = _knn_forward_full(p1, p2, lengths1, lengths2, K, norm)
+    else:
+        vals, idx = _knn_forward_tiled(p1, p2, lengths1, lengths2, K, norm)
+    return _apply_pad_conventions(vals, idx, lengths1, lengths2, K, P1)
+
+
+def _default_impl(norm: int) -> str:
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return "pallas"
+    return "xla"
+
+
+def _knn_core_fwd(p1, p2, lengths1, lengths2, K, norm, impl):
+    dists, idx = _knn_points_core(p1, p2, lengths1, lengths2, K, norm, impl)
+    return (dists, idx), (p1, p2, lengths1, lengths2, idx)
+
+
+def _knn_core_bwd(K, norm, impl, res, grads):
+    p1, p2, lengths1, lengths2, idx = res
+    grad_dists, _ = grads
+    grad_p1, grad_p2 = knn_backward(
+        p1.astype(jnp.float32),
+        p2.astype(jnp.float32),
+        lengths1,
+        lengths2,
+        idx,
+        norm,
+        grad_dists.astype(jnp.float32),
+    )
+    return grad_p1, grad_p2, None, None
+
+
+_knn_points_core.defvjp(_knn_core_fwd, _knn_core_bwd)
+
+
+def knn_points(
+    p1: Array,
+    p2: Array,
+    lengths1: Optional[Array] = None,
+    lengths2: Optional[Array] = None,
+    norm: int = 2,
+    K: int = 1,
+    version: int = -1,
+    return_nn: bool = False,
+    return_sorted: bool = True,
+    impl: str = "auto",
+) -> _KNN:
+    """K-Nearest neighbors from each point of ``p1`` to the points of ``p2``.
+
+    Mirrors reference ``functions/knn.py:114-197``.
+
+    Args:
+        p1: (N, P1, D) query clouds.
+        p2: (N, P2, D) reference clouds.
+        lengths1: (N,) valid lengths of p1 clouds (default: all P1).
+        lengths2: (N,) valid lengths of p2 clouds (default: all P2).
+        norm: 1 (L1) or 2 (squared L2).
+        K: number of neighbors.
+        version: accepted for API compatibility with the reference's CUDA
+            kernel-version knob (functions/knn.py:121); ignored here — XLA
+            specializes per static shape instead.
+        return_nn: also gather the neighbor coordinates via ``knn_gather``.
+        return_sorted: results are always produced in ascending-distance
+            order (a superset of the reference guarantee); flag kept for API
+            compatibility.
+        impl: "auto" | "xla" | "pallas" — kernel selection; "auto" picks the
+            Pallas TPU kernel on TPU backends, the XLA program elsewhere.
+
+    Returns:
+        ``KNN(dists, idx, knn)`` namedtuple: dists (N, P1, K) ascending squared
+        distances (0-padded), idx (N, P1, K) int32 neighbor indices
+        (0-padded), knn (N, P1, K, D) or None.
+    """
+    if p1.shape[0] != p2.shape[0]:
+        raise ValueError("pts1 and pts2 must have the same batch dimension.")
+    if p1.shape[2] != p2.shape[2]:
+        raise ValueError("pts1 and pts2 must have the same point dimension.")
+    if not (norm == 1 or norm == 2):
+        raise ValueError("Support for 1 or 2 norm.")
+    del version, return_sorted  # static-shape specialization; always sorted
+
+    p1 = jnp.asarray(p1, jnp.float32)
+    p2 = jnp.asarray(p2, jnp.float32)
+    N, P1, _ = p1.shape
+    P2 = p2.shape[1]
+    if lengths1 is None:
+        lengths1 = jnp.full((N,), P1, jnp.int32)
+    if lengths2 is None:
+        lengths2 = jnp.full((N,), P2, jnp.int32)
+    lengths1 = jnp.asarray(lengths1, jnp.int32)
+    lengths2 = jnp.asarray(lengths2, jnp.int32)
+
+    dists, idx = _knn_points_core(p1, p2, lengths1, lengths2, K, norm, impl)
+
+    nn = knn_gather(p2, idx, lengths2) if return_nn else None
+    return _KNN(dists=dists, idx=idx, knn=nn)
+
+
+def knn_gather(x: Array, idx: Array, lengths: Optional[Array] = None) -> Array:
+    """Gather (N, M, U) values by KNN indices (N, L, K) -> (N, L, K, U),
+    zero-filling entries where ``k >= lengths[n]``
+    (reference functions/knn.py:200-250)."""
+    N, M, U = x.shape
+    _N, L, K = idx.shape
+    if N != _N:
+        raise ValueError("x and idx must have same batch dimension.")
+    if lengths is None:
+        lengths = jnp.full((N,), M, jnp.int32)
+    x_out = jnp.take_along_axis(
+        x[:, :, None, :], idx.reshape(N, -1, 1, 1), axis=1
+    ).reshape(N, L, K, U)
+    mask = (
+        jnp.arange(K, dtype=jnp.int32)[None, None, :] < lengths[:, None, None]
+    )
+    return jnp.where(mask[..., None], x_out, 0.0)

@@ -1,0 +1,323 @@
+"""Ring-parallel KNN and chamfer over a device mesh.
+
+This is the scale-out layer the reference never had (SURVEY §2.3): for clouds
+too large for one chip's HBM — or to parallelize the O(P1*P2) distance work —
+query points p1 shard over a mesh axis while reference clouds p2 **rotate
+around the ring** via ``jax.lax.ppermute`` over ICI, each device merging every
+visiting shard into a running top-K (the point-cloud analog of ring
+attention; the merge is an associative concat+top_k, so the result is
+independent of hop order).
+
+Returned indices are **global** p2 indices (shard offset added per hop), so
+the ring produces bit-identical semantics to the single-chip op.
+
+The backward is a second ring pass: each (p2_shard, grad_p2_shard) pair
+travels the full cycle, every device adding the gradient contributions of its
+own queries whose neighbors fall in the visiting shard (the CUDA atomicAdd
+scatter of knn.cu:514-515 becomes a local deterministic scatter-add whose
+accumulator rides the ring home) — communication overlapped with compute by
+XLA, no all-gather of either points or gradients ever materializes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.knn import (
+    _KNN,
+    _apply_pad_conventions,
+    _pairwise_dist,
+    _topk_small,
+    knn_gather,
+)
+
+Array = jnp.ndarray
+_INF = jnp.float32(jnp.inf)
+
+
+def _local_knn(x, y, len2_local, K, norm):
+    """Local brute-force KNN of x (N, P1l, D) against a visiting shard
+    y (N, P2l, D); returns (dists, local idx) inf-padded to K."""
+    P2l = y.shape[1]
+    d = _pairwise_dist(x, y, norm)  # (N, P1l, P2l)
+    j_valid = (
+        jnp.arange(P2l, dtype=jnp.int32)[None, :] < len2_local[:, None]
+    )
+    d = jnp.where(j_valid[:, None, :], d, _INF)
+    Kp = min(K, P2l)
+    vals, idx = _topk_small(d, Kp)
+    if Kp < K:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, K - Kp)), constant_values=_INF)
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, K - Kp)))
+    return vals, idx.astype(jnp.int32)
+
+
+def _ring_fwd_local(p1_loc, p2_loc, lengths2, K, norm, axis_name):
+    """Runs on each device under shard_map: stream all p2 shards through."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P1l, _ = p1_loc.shape
+    P2l = p2_loc.shape[1]
+
+    state_d = jnp.full((N, P1l, K), _INF, jnp.float32)
+    state_i = jnp.zeros((N, P1l, K), jnp.int32)
+
+    def hop(carry, t):
+        y, sd, si = carry
+        owner = (my - t) % n_dev
+        offset = owner * P2l
+        len2_local = jnp.clip(lengths2 - offset, 0, P2l)
+        vals, idx = _local_knn(p1_loc, y, len2_local, K, norm)
+        idx = idx + offset
+        # Merge = concat + top_k: associative, so the result is hop-order
+        # independent except for exact-tie ordering (shards visit in ring
+        # order, not ascending index; exact float ties across shards may
+        # order differently than single-chip — same caveat as the
+        # reference's own CUDA-vs-CPU tie behavior).
+        cand_d = jnp.concatenate([sd, vals], axis=2)
+        cand_i = jnp.concatenate([si, idx], axis=2)
+        md, sel = _topk_small(cand_d, K)
+        mi = jnp.take_along_axis(cand_i, sel, axis=2)
+        y_next = lax.ppermute(
+            y, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        return (y_next, md, mi), None
+
+    (_, state_d, state_i), _ = lax.scan(
+        hop,
+        (p2_loc, state_d, state_i),
+        jnp.arange(n_dev, dtype=jnp.int32),
+    )
+    return state_d, state_i
+
+
+def _ring_bwd_local(
+    p1_loc, p2_loc, lengths1, lengths2, idx_loc, grad_d_loc, K, norm, axis_name
+):
+    """Backward ring pass; see module docstring."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P1l, D = p1_loc.shape
+    P2l = p2_loc.shape[1]
+    row_offset = my * P1l
+
+    rows = row_offset + jnp.arange(P1l, dtype=jnp.int32)
+    valid = (
+        (rows[None, :, None] < lengths1[:, None, None])
+        & (
+            jnp.arange(K, dtype=jnp.int32)[None, None, :]
+            < lengths2[:, None, None]
+        )
+        & (idx_loc >= 0)
+    )
+    g = jnp.where(valid, grad_d_loc, 0.0)
+
+    def hop(carry, t):
+        y, gy, gp1 = carry
+        owner = (my - t) % n_dev
+        offset = owner * P2l
+        in_shard = (idx_loc >= offset) & (idx_loc < offset + P2l) & valid
+        local_idx = jnp.clip(idx_loc - offset, 0, P2l - 1)
+        p2_g = jnp.take_along_axis(
+            y[:, :, None, :], local_idx.reshape(N, -1, 1, 1), axis=1
+        ).reshape(N, P1l, K, D)
+        if norm == 1:
+            diff = g[..., None] * jnp.where(p1_loc[:, :, None, :] > p2_g, 1.0, -1.0)
+        else:
+            diff = 2.0 * g[..., None] * (p1_loc[:, :, None, :] - p2_g)
+        diff = jnp.where(in_shard[..., None], diff, 0.0)
+        gp1 = gp1 + diff.sum(axis=2)
+
+        def scatter_one(gy_n, i_n, v_n):
+            return gy_n.at[i_n.reshape(-1)].add(v_n.reshape(-1, D))
+
+        gy = jax.vmap(scatter_one)(gy, local_idx, -diff)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        y_next = lax.ppermute(y, axis_name, perm)
+        gy_next = lax.ppermute(gy, axis_name, perm)
+        return (y_next, gy_next, gp1), None
+
+    init = (p2_loc, jnp.zeros_like(p2_loc), jnp.zeros_like(p1_loc))
+    (_, gp2, gp1), _ = lax.scan(
+        hop, init, jnp.arange(n_dev, dtype=jnp.int32)
+    )
+    return gp1, gp2
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ring_knn(mesh, point_axis, batch_axis, K, norm):
+    spec_pts = P(batch_axis, point_axis, None)
+    spec_len = P(batch_axis)
+    spec_out = P(batch_axis, point_axis, None)
+
+    fwd_local = functools.partial(
+        _ring_fwd_local, K=K, norm=norm, axis_name=point_axis
+    )
+    bwd_local = functools.partial(
+        _ring_bwd_local, K=K, norm=norm, axis_name=point_axis
+    )
+
+    fwd_sharded = shard_map(
+        fwd_local,
+        mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_len),
+        out_specs=(spec_out, spec_out),
+        check_vma=False,
+    )
+    bwd_sharded = shard_map(
+        bwd_local,
+        mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_len, spec_len, spec_out, spec_out),
+        out_specs=(spec_pts, spec_pts),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def ring_knn(p1, p2, lengths1, lengths2):
+        dists, idx = fwd_sharded(p1, p2, lengths2)
+        return _apply_pad_conventions(
+            dists, idx, lengths1, lengths2, K, p1.shape[1]
+        )
+
+    def ring_knn_fwd(p1, p2, lengths1, lengths2):
+        dists, idx = ring_knn(p1, p2, lengths1, lengths2)
+        return (dists, idx), (p1, p2, lengths1, lengths2, idx)
+
+    def ring_knn_bwd(res, grads):
+        p1, p2, lengths1, lengths2, idx = res
+        grad_dists, _ = grads
+        gp1, gp2 = bwd_sharded(
+            p1, p2, lengths1, lengths2, idx, grad_dists.astype(jnp.float32)
+        )
+        return gp1, gp2, None, None
+
+    ring_knn.defvjp(ring_knn_fwd, ring_knn_bwd)
+    return ring_knn
+
+
+def ring_knn_points(
+    p1: Array,
+    p2: Array,
+    lengths1: Optional[Array] = None,
+    lengths2: Optional[Array] = None,
+    norm: int = 2,
+    K: int = 1,
+    *,
+    mesh: Mesh,
+    point_axis: str = "sp",
+    batch_axis: Optional[str] = None,
+    return_nn: bool = False,
+) -> _KNN:
+    """KNN with p1 sharded over ``point_axis`` and p2 rotated around the ring.
+
+    Semantics identical to ``ops.knn.knn_points`` (global indices, reference
+    padding conventions); requires P1 and P2 divisible by the ring size.
+    Differentiable w.r.t. p1 and p2 via the backward ring pass.
+    """
+    if p1.shape[0] != p2.shape[0]:
+        raise ValueError("pts1 and pts2 must have the same batch dimension.")
+    if p1.shape[2] != p2.shape[2]:
+        raise ValueError("pts1 and pts2 must have the same point dimension.")
+    if not (norm == 1 or norm == 2):
+        raise ValueError("Support for 1 or 2 norm.")
+    n_ring = mesh.shape[point_axis]
+    if p1.shape[1] % n_ring or p2.shape[1] % n_ring:
+        raise ValueError(
+            f"P1={p1.shape[1]} and P2={p2.shape[1]} must be divisible by the "
+            f"ring size {n_ring}."
+        )
+
+    p1 = jnp.asarray(p1, jnp.float32)
+    p2 = jnp.asarray(p2, jnp.float32)
+    N, P1, _ = p1.shape
+    P2 = p2.shape[1]
+    if lengths1 is None:
+        lengths1 = jnp.full((N,), P1, jnp.int32)
+    if lengths2 is None:
+        lengths2 = jnp.full((N,), P2, jnp.int32)
+    lengths1 = jnp.asarray(lengths1, jnp.int32)
+    lengths2 = jnp.asarray(lengths2, jnp.int32)
+
+    ring = _make_ring_knn(mesh, point_axis, batch_axis, K, norm)
+    dists, idx = ring(p1, p2, lengths1, lengths2)
+    nn = knn_gather(p2, idx, lengths2) if return_nn else None
+    return _KNN(dists=dists, idx=idx, knn=nn)
+
+
+def ring_chamfer_distance(
+    x: Array,
+    y: Array,
+    x_lengths: Optional[Array] = None,
+    y_lengths: Optional[Array] = None,
+    weights: Optional[Array] = None,
+    batch_reduction: Optional[str] = "mean",
+    point_reduction: Optional[str] = "mean",
+    norm: int = 2,
+    single_directional: bool = False,
+    *,
+    mesh: Mesh,
+    point_axis: str = "sp",
+    batch_axis: Optional[str] = None,
+):
+    """Chamfer distance with both clouds sharded over the ring axis.
+
+    Composes two ring-KNN(K=1) passes with the standard masked reductions of
+    ``ops.chamfer``; reductions over sharded axes compile to psums over ICI.
+    Feature channels are not yet supported on the ring path.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    N, P1, _ = x.shape
+    P2 = y.shape[1]
+    if x_lengths is None:
+        x_lengths = jnp.full((N,), P1, jnp.int32)
+    if y_lengths is None:
+        y_lengths = jnp.full((N,), P2, jnp.int32)
+
+    def one_direction(a, b, la, lb):
+        nn = ring_knn_points(
+            a, b, la, lb, norm=norm, K=1,
+            mesh=mesh, point_axis=point_axis, batch_axis=batch_axis,
+        )
+        cham = nn.dists[..., 0]  # (N, Pa)
+        mask = jnp.arange(a.shape[1], dtype=jnp.int32)[None] >= la[:, None]
+        cham = jnp.where(mask, 0.0, cham)
+        if weights is not None:
+            cham = cham * jnp.asarray(weights)[:, None]
+        if point_reduction == "max":
+            return cham.max(axis=1)
+        if point_reduction is not None:
+            cham = cham.sum(axis=1)
+            if point_reduction == "mean":
+                cham = cham / jnp.clip(la, min=1)
+        return cham
+
+    cham_x = one_direction(x, y, x_lengths, y_lengths)
+    if single_directional:
+        loss = cham_x
+    else:
+        cham_y = one_direction(y, x, y_lengths, x_lengths)
+        if point_reduction == "max":
+            loss = jnp.maximum(cham_x, cham_y)
+        elif point_reduction is not None:
+            loss = cham_x + cham_y
+        else:
+            loss = (cham_x, cham_y)
+
+    if batch_reduction is not None and point_reduction is not None:
+        loss = loss.sum()
+        if batch_reduction == "mean":
+            if weights is None:
+                div = max(N, 1)
+            else:
+                wsum = jnp.asarray(weights).sum()
+                div = jnp.where(wsum == 0.0, 1.0, wsum)
+            loss = loss / div
+    return loss

@@ -1,0 +1,23 @@
+from .pointclouds import (
+    Pointclouds,
+    all_close,
+    get_bounding_boxes,
+    join_pointclouds_as_batch,
+    join_pointclouds_as_scene,
+    offset,
+    scale,
+    subsample,
+)
+from . import utils
+
+__all__ = [
+    "Pointclouds",
+    "all_close",
+    "get_bounding_boxes",
+    "join_pointclouds_as_batch",
+    "join_pointclouds_as_scene",
+    "offset",
+    "scale",
+    "subsample",
+    "utils",
+]

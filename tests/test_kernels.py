@@ -1,0 +1,97 @@
+"""Pallas kernel tests, run in interpreter mode on the CPU mesh so they are
+hardware-independent; the same kernels are exercised compiled on real TPU by
+bench.py and the driver's entry checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas
+from pytorch3d_pointops_tpu.kernels.knn_pallas import knn_forward_pallas
+from pytorch3d_pointops_tpu.ops.fps import _fps_single
+from pytorch3d_pointops_tpu.ops.knn import _knn_forward_full
+
+
+def _clouds(key, N, P1, P2, D=3):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p1 = jax.random.normal(k1, (N, P1, D), jnp.float32)
+    p2 = jax.random.normal(k2, (N, P2, D), jnp.float32)
+    l2 = jax.random.randint(k3, (N,), 1, P2 + 1)
+    return p1, p2, l2
+
+
+@pytest.mark.parametrize("norm", [1, 2])
+def test_knn_pallas_matches_xla(norm):
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(norm), 2, 100, 300)
+    l1 = jnp.full((2,), 100, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=8, norm=norm, tile_p1=32, tile_p2=64, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, norm)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_unaligned_sizes():
+    """P1/P2 not multiples of the tile sizes exercise the padding path."""
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(7), 2, 45, 77)
+    l1 = jnp.full((2,), 45, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=4, tile_p1=32, tile_p2=32, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 4, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_k_wider_than_length():
+    """Some clouds have lengths2 < K: pallas pads with inf which the public
+    wrapper zeroes; compare pre-convention outputs against the XLA twin."""
+    p1, p2, _ = _clouds(jax.random.PRNGKey(3), 2, 20, 10)
+    l1 = jnp.full((2,), 20, jnp.int32)
+    l2 = jnp.asarray([3, 10])
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=6, tile_p1=16, tile_p2=16, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 6, 2)
+    # rows where k < lengths2 must agree; pallas uses inf beyond, full uses
+    # padded junk beyond — compare only valid ks
+    for n in range(2):
+        kv = min(6, int(l2[n]))
+        np.testing.assert_allclose(
+            np.asarray(d_pal)[n, :, :kv], np.asarray(d_ref)[n, :, :kv], atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_pal)[n, :, :kv], np.asarray(i_ref)[n, :, :kv]
+        )
+        assert np.isinf(np.asarray(d_pal)[n, :, kv:]).all()
+
+
+def test_fps_pallas_matches_xla():
+    pts = jax.random.normal(jax.random.PRNGKey(0), (3, 50, 3))
+    lengths = jnp.asarray([50, 30, 7])
+    K = jnp.asarray([12, 12, 12])
+    starts = jnp.asarray([0, 3, 0])
+    idx_pal = fps_pallas(
+        jnp.swapaxes(pts, 1, 2), lengths, K, starts, 12, interpret=True
+    )
+    idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 12))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_xla))
+
+
+def test_fps_pallas_per_cloud_k():
+    pts = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 3))
+    lengths = jnp.asarray([40, 40])
+    K = jnp.asarray([5, 9])
+    starts = jnp.zeros((2,), jnp.int32)
+    idx = np.asarray(
+        fps_pallas(jnp.swapaxes(pts, 1, 2), lengths, K, starts, 9, interpret=True)
+    )
+    assert (idx[0, 5:] == -1).all()
+    assert (idx[0, :5] >= 0).all()
+    assert (idx[1] >= 0).all()

@@ -1,0 +1,153 @@
+"""Multi-device ring KNN / chamfer tests on the 8-device virtual CPU mesh
+(SURVEY §4 item 6: mesh/collective logic exercised without a TPU pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch3d_pointops_tpu import chamfer_distance, knn_points
+from pytorch3d_pointops_tpu.parallel import (
+    make_mesh,
+    ring_chamfer_distance,
+    ring_knn_points,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((8,), ("sp",))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return make_mesh((2, 4), ("dp", "sp"))
+
+
+def _clouds(key, N=2, P1=64, P2=96):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p1 = jax.random.normal(k1, (N, P1, 3))
+    p2 = jax.random.normal(k2, (N, P2, 3))
+    l1 = jax.random.randint(k3, (N,), 1, P1 + 1)
+    l2 = jax.random.randint(k4, (N,), 1, P2 + 1)
+    return p1, p2, l1, l2
+
+
+@pytest.mark.parametrize("norm", [1, 2])
+def test_ring_knn_matches_single_chip(mesh, norm):
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(norm))
+    out_ring = ring_knn_points(p1, p2, l1, l2, K=8, norm=norm, mesh=mesh)
+    out_ref = knn_points(p1, p2, l1, l2, K=8, norm=norm)
+    np.testing.assert_allclose(
+        np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ring.idx), np.asarray(out_ref.idx)
+    )
+
+
+def test_ring_knn_k_exceeds_shard(mesh):
+    """K larger than each shard's point count: merge must pull across hops."""
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(5), P1=32, P2=32)
+    out_ring = ring_knn_points(p1, p2, l1, l2, K=6, mesh=mesh)  # shard=4 < K
+    out_ref = knn_points(p1, p2, l1, l2, K=6)
+    np.testing.assert_allclose(
+        np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ring.idx), np.asarray(out_ref.idx)
+    )
+
+
+def test_ring_knn_gradients_match(mesh):
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(2))
+
+    def loss_ring(a, b):
+        o = ring_knn_points(a, b, l1, l2, K=4, mesh=mesh)
+        w = jnp.arange(o.dists.size, dtype=jnp.float32).reshape(o.dists.shape)
+        return (o.dists * w).sum()
+
+    def loss_ref(a, b):
+        o = knn_points(a, b, l1, l2, K=4)
+        w = jnp.arange(o.dists.size, dtype=jnp.float32).reshape(o.dists.shape)
+        return (o.dists * w).sum()
+
+    g_ring = jax.grad(loss_ring, (0, 1))(p1, p2)
+    g_ref = jax.grad(loss_ref, (0, 1))(p1, p2)
+    np.testing.assert_allclose(
+        np.asarray(g_ring[0]), np.asarray(g_ref[0]), atol=1e-3, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ring[1]), np.asarray(g_ref[1]), atol=1e-3, rtol=1e-4
+    )
+
+
+def test_ring_knn_under_jit_with_sharded_inputs(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(3))
+    sh = NamedSharding(mesh, P(None, "sp", None))
+    p1s = jax.device_put(p1, sh)
+    p2s = jax.device_put(p2, sh)
+
+    f = jax.jit(lambda a, b: ring_knn_points(a, b, l1, l2, K=4, mesh=mesh).dists)
+    np.testing.assert_allclose(
+        np.asarray(f(p1s, p2s)),
+        np.asarray(knn_points(p1, p2, l1, l2, K=4).dists),
+        atol=1e-5,
+    )
+
+
+def test_ring_chamfer_matches_single_chip(mesh):
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(4))
+    loss_ring = ring_chamfer_distance(p1, p2, l1, l2, mesh=mesh)
+    loss_ref, _ = chamfer_distance(p1, p2, l1, l2)
+    np.testing.assert_allclose(
+        np.asarray(loss_ring), np.asarray(loss_ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_ring_chamfer_gradient_descent():
+    """A sharded chamfer training step reduces the loss — the end-to-end
+    multi-device slice.  Uses a small ring and few steps: on a low-core CI
+    host, XLA CPU's in-process collectives rendezvous can starve (hard 40 s
+    termination timeout) under many-device many-dispatch pressure."""
+    mesh = make_mesh((2,), ("sp",), devices=jax.devices()[:2])
+    target = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 3))
+    src = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 3)) * 2.0
+
+    @jax.jit
+    def step(p):
+        loss, g = jax.value_and_grad(
+            lambda p_: ring_chamfer_distance(p_, target, mesh=mesh)
+        )(p)
+        return p - 1.0 * g, loss
+
+    p = src
+    first = None
+    for it in range(20):
+        p, l = step(p)
+        if first is None:
+            first = float(l)
+    assert float(l) < 0.5 * first
+
+
+def test_ring_2d_mesh_dp_plus_sp(mesh2d):
+    """Batch sharded over dp while points ring over sp."""
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(6), N=4, P1=32, P2=64)
+    out_ring = ring_knn_points(
+        p1, p2, l1, l2, K=4, mesh=mesh2d, point_axis="sp", batch_axis="dp"
+    )
+    out_ref = knn_points(p1, p2, l1, l2, K=4)
+    np.testing.assert_allclose(
+        np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ring.idx), np.asarray(out_ref.idx)
+    )
+
+
+def test_ring_validation(mesh):
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(0), P1=60, P2=96)  # 60 % 8 != 0
+    with pytest.raises(ValueError):
+        ring_knn_points(p1, p2, l1, l2, K=4, mesh=mesh)
