@@ -11,10 +11,21 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   steps map to the same output block, which Pallas keeps resident, so the
   selection state never round-trips to HBM (the VMEM analog of the CUDA
   kernels' register-resident MinK, csrc/utils/mink.cuh:41-126).
-* Top-K merge is a K-pass min-extraction over the concatenated
-  [carried-K | tile] candidates.  Ties resolve to the leftmost candidate,
-  which preserves the reference's first-seen-wins + ascending-sort semantics
-  (functions/knn.py:77-89).
+* Top-K merge is **threshold-screened and group-batched**: the carried state
+  is kept sorted, so its last column is the kth-smallest distance seen so
+  far.  Each tile first computes, in one cheap pass, which candidates
+  strictly beat that threshold (the MinK ``dist < max`` admission test,
+  csrc/utils/mink.cuh:62-83); when none do — the overwhelmingly common case
+  once enough points have streamed past, for the same reason the CUDA MinK's
+  O(K) replace-max scan amortizes to O(1) — the tile costs one extra pass.
+  Otherwise the survivors are extracted by K statically-unrolled
+  min+argmin sweeps over a VMEM scratch buffer, each predicated on
+  ``k < max_row_winners`` so a tile only pays for the admissions it actually
+  has, then merged into the state with one small top-K pass.  (A
+  per-128-lane-group batched variant was tried and is *slower*: the
+  (T1,T2)->(T1,G,128) regroup is a full vreg relayout per round on TPU.)
+  Ties resolve to the leftmost candidate, preserving the reference's
+  first-seen-wins + ascending-sort semantics (functions/knn.py:77-89).
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
   ``_apply_pad_conventions``), mirroring the split in the reference.
@@ -37,8 +48,11 @@ Array = jnp.ndarray
 
 _INF = float("inf")  # plain float: jnp constants would be captured as operands
 
-DEFAULT_TILE_P1 = 128
-DEFAULT_TILE_P2 = 2048
+# Tuned on TPU v5e (scripts/tune_knn.py, N=M=100k K=16): smaller P1 tiles
+# lower the max-winners-per-tile bound that gates the extraction loop, and
+# wider P2 tiles amortize the screen; (64, 4096) beat (128, 2048) by 1.7x.
+DEFAULT_TILE_P1 = 64
+DEFAULT_TILE_P2 = 4096
 
 
 def _merge_topk(cand_d: Array, cand_i: Array, K: int):
@@ -67,6 +81,9 @@ def _knn_kernel(
     p2_ref,  # VMEM (1, TILE_P2, D)
     out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
     out_i_ref,  # VMEM (1, TILE_P1, K)
+    dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
+    cand_d_ref,  # VMEM scratch (TILE_P1, K) — extracted winners
+    cand_i_ref,  # VMEM scratch (TILE_P1, K)
     *,
     K: int,
     norm: int,
@@ -108,16 +125,47 @@ def _knn_kernel(
             d = d + jnp.abs(x[:, di][:, None] - y[:, di][None, :])
 
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    j_global = j * tile_p2 + col
     len2 = lengths2_ref[pl.program_id(0)]
-    d = jnp.where(j_global < len2, d, _INF)
+    d = jnp.where(j * tile_p2 + col < len2, d, _INF)
 
-    # Carried state first so ties keep the earlier (lower-index) candidate.
-    cand_d = jnp.concatenate([out_d_ref[0], d], axis=1)
-    cand_i = jnp.concatenate([out_i_ref[0], j_global], axis=1)
-    new_d, new_i = _merge_topk(cand_d, cand_i, K)
-    out_d_ref[0] = new_d
-    out_i_ref[0] = new_i
+    # Admission screen: the state is sorted ascending, so its last column is
+    # the kth-smallest distance so far.  Strict < matches MinK's replace-max
+    # test (first-seen wins on exact ties, mink.cuh:70).
+    state_d = out_d_ref[0]  # (TILE_P1, K) sorted ascending
+    thresh = state_d[:, K - 1][:, None]
+    win = d < thresh
+    maxc = jnp.minimum(jnp.max(jnp.sum(win.astype(jnp.int32), axis=1)), K)
+
+    @pl.when(maxc > 0)
+    def _():
+        # Winner extraction over VMEM scratch, mutated in place (a loop carry
+        # would copy the (TILE_P1, TILE_P2) buffer every iteration), with K
+        # statically-unrolled steps each predicated on k < maxc so late tiles
+        # (few admissions) skip almost all of them.
+        dw_ref[...] = jnp.where(win, d, _INF)
+        cand_d_ref[...] = jnp.full(cand_d_ref.shape, _INF, jnp.float32)
+        for k in range(K):
+
+            @pl.when(k < maxc)
+            def _(k=k):
+                dw = dw_ref[...]
+                m = jnp.min(dw, axis=1)
+                am = jnp.argmin(dw, axis=1).astype(jnp.int32)
+                cand_d_ref[:, k] = m
+                cand_i_ref[:, k] = j * tile_p2 + am
+                # The scratch is rewritten next tile, so the final
+                # extraction can skip the mask-out write.
+                @pl.when(k + 1 < maxc)
+                def _():
+                    dw_ref[...] = jnp.where(col == am[:, None], _INF, dw)
+
+        # Rows with fewer winners than maxc padded their tail with inf;
+        # carried-state-first ordering keeps state entries on those ties.
+        cand_d = jnp.concatenate([state_d, cand_d_ref[...]], axis=1)
+        cand_i = jnp.concatenate([out_i_ref[0], cand_i_ref[...]], axis=1)
+        new_d, new_i = _merge_topk(cand_d, cand_i, K)
+        out_d_ref[0] = new_d
+        out_i_ref[0] = new_i
 
 
 @functools.partial(
@@ -177,6 +225,11 @@ def knn_forward_pallas(
             pl.BlockSpec(
                 (1, tile_p1, K), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
             ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
+            pltpu.VMEM((tile_p1, K), jnp.float32),
+            pltpu.VMEM((tile_p1, K), jnp.int32),
         ],
     )
     out_d, out_i = pl.pallas_call(

@@ -4,7 +4,7 @@ from .mesh import (
     point_sharding,
     shard_pointclouds,
 )
-from .ring import ring_chamfer_distance, ring_knn_points
+from .ring import ring_chamfer_distance, ring_knn_gather, ring_knn_points
 
 __all__ = [
     "make_mesh",
@@ -12,5 +12,6 @@ __all__ = [
     "point_sharding",
     "shard_pointclouds",
     "ring_knn_points",
+    "ring_knn_gather",
     "ring_chamfer_distance",
 ]

@@ -251,16 +251,151 @@ def ring_knn_points(
     return _KNN(dists=dists, idx=idx, knn=nn)
 
 
+def _ring_gather_local(y_loc, idx_loc, K, axis_name):
+    """Per-device body of the ring feature gather: rotate value shards and
+    accumulate the rows whose global index falls in the visiting shard."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P2l, C = y_loc.shape
+    P1l = idx_loc.shape[1]
+
+    def hop(carry, t):
+        y, acc = carry
+        owner = (my - t) % n_dev
+        off = owner * P2l
+        in_shard = (idx_loc >= off) & (idx_loc < off + P2l)
+        li = jnp.clip(idx_loc - off, 0, P2l - 1)
+        g = jnp.take_along_axis(
+            y[:, :, None, :], li.reshape(N, -1, 1, 1), axis=1
+        ).reshape(N, P1l, K, C)
+        acc = acc + jnp.where(in_shard[..., None], g, 0.0)
+        y = lax.ppermute(
+            y, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        return (y, acc), None
+
+    init = (y_loc, jnp.zeros((N, P1l, K, C), y_loc.dtype))
+    (_, acc), _ = lax.scan(hop, init, jnp.arange(n_dev, dtype=jnp.int32))
+    return acc
+
+
+def _ring_gather_bwd_local(idx_loc, grad_acc, P2l_total, K, axis_name):
+    """Backward of the ring gather: each device's contributions to a value
+    shard are scattered into an accumulator that rides the ring back to the
+    owning device (same structure as the KNN backward ring pass)."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P1l, _, C = grad_acc.shape
+    P2l = P2l_total // n_dev
+
+    def hop(carry, t):
+        gy = carry
+        owner = (my - t) % n_dev
+        off = owner * P2l
+        in_shard = (idx_loc >= off) & (idx_loc < off + P2l)
+        li = jnp.clip(idx_loc - off, 0, P2l - 1)
+        contrib = jnp.where(in_shard[..., None], grad_acc, 0.0)
+
+        def scatter_one(gy_n, i_n, v_n):
+            return gy_n.at[i_n.reshape(-1)].add(v_n.reshape(-1, C))
+
+        gy = jax.vmap(scatter_one)(gy, li, contrib)
+        gy = lax.ppermute(
+            gy, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        return gy, None
+
+    init = jnp.zeros((N, P2l, C), grad_acc.dtype)
+    gy, _ = lax.scan(hop, init, jnp.arange(n_dev, dtype=jnp.int32))
+    return gy
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ring_gather(mesh, point_axis, batch_axis, K):
+    spec_val = P(batch_axis, point_axis, None)
+    spec_idx = P(batch_axis, point_axis, None)
+    spec_out = P(batch_axis, point_axis, None, None)
+
+    fwd_sharded = shard_map(
+        functools.partial(_ring_gather_local, K=K, axis_name=point_axis),
+        mesh=mesh,
+        in_specs=(spec_val, spec_idx),
+        out_specs=spec_out,
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def ring_gather(y_values, idx):
+        return fwd_sharded(y_values, idx)
+
+    def ring_gather_fwd(y_values, idx):
+        return ring_gather(y_values, idx), (idx, y_values.shape[1])
+
+    def ring_gather_bwd(res, grad_acc):
+        idx, P2 = res
+        bwd_sharded = shard_map(
+            functools.partial(
+                _ring_gather_bwd_local,
+                P2l_total=P2,
+                K=K,
+                axis_name=point_axis,
+            ),
+            mesh=mesh,
+            in_specs=(spec_idx, spec_out),
+            out_specs=spec_val,
+            check_vma=False,
+        )
+        return bwd_sharded(idx, grad_acc), None
+
+    ring_gather.defvjp(ring_gather_fwd, ring_gather_bwd)
+    return ring_gather
+
+
+def ring_knn_gather(
+    x: Array,
+    idx: Array,
+    lengths: Optional[Array] = None,
+    *,
+    mesh: Mesh,
+    point_axis: str = "sp",
+    batch_axis: Optional[str] = None,
+) -> Array:
+    """``knn_gather`` with values ``x`` (N, M, U) and indices (N, L, K) both
+    sharded over ``point_axis``: value shards rotate around the ring instead
+    of all-gathering.  Differentiable w.r.t. ``x``; zero-fills entries where
+    ``k >= lengths[n]`` exactly like ``ops.knn.knn_gather``."""
+    N, M, _ = x.shape
+    K = idx.shape[2]
+    if lengths is None:
+        lengths = jnp.full((N,), M, jnp.int32)
+    gathered = _make_ring_gather(mesh, point_axis, batch_axis, K)(x, idx)
+    mask = (
+        jnp.arange(K, dtype=jnp.int32)[None, None, :] < lengths[:, None, None]
+    )
+    return jnp.where(mask[..., None], gathered, 0.0)
+
+
+def _cosine_similarity(a, b, eps=1e-6):
+    dot = (a * b).sum(-1)
+    na = jnp.sqrt((a * a).sum(-1))
+    nb = jnp.sqrt((b * b).sum(-1))
+    return dot / jnp.clip(na * nb, min=eps)
+
+
 def ring_chamfer_distance(
     x: Array,
     y: Array,
     x_lengths: Optional[Array] = None,
     y_lengths: Optional[Array] = None,
+    x_features: Optional[dict] = None,
+    y_features: Optional[dict] = None,
     weights: Optional[Array] = None,
     batch_reduction: Optional[str] = "mean",
     point_reduction: Optional[str] = "mean",
     norm: int = 2,
     single_directional: bool = False,
+    abs_cosine: bool = True,
+    feature_names: Optional[list] = None,
     *,
     mesh: Mesh,
     point_axis: str = "sp",
@@ -270,7 +405,12 @@ def ring_chamfer_distance(
 
     Composes two ring-KNN(K=1) passes with the standard masked reductions of
     ``ops.chamfer``; reductions over sharded axes compile to psums over ICI.
-    Feature channels are not yet supported on the ring path.
+    Named feature channels are scored exactly like ``ops.chamfer`` (cosine
+    distance to the nearest neighbor's feature), with the neighbor features
+    fetched by a differentiable ring gather instead of an all-gather.
+
+    Returns ``loss`` alone when no features are requested (backward
+    compatible), else ``(loss, loss_features)``.
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
@@ -280,8 +420,16 @@ def ring_chamfer_distance(
         x_lengths = jnp.full((N,), P1, jnp.int32)
     if y_lengths is None:
         y_lengths = jnp.full((N,), P2, jnp.int32)
+    return_features = (
+        x_features is not None
+        and y_features is not None
+        and feature_names is not None
+        and len(feature_names) > 0
+    )
+    if return_features and point_reduction == "max":
+        raise ValueError('Features must be None if point_reduction is "max"')
 
-    def one_direction(a, b, la, lb):
+    def one_direction(a, b, la, lb, a_feats, b_feats):
         nn = ring_knn_points(
             a, b, la, lb, norm=norm, K=1,
             mesh=mesh, point_axis=point_axis, batch_axis=batch_axis,
@@ -291,28 +439,67 @@ def ring_chamfer_distance(
         cham = jnp.where(mask, 0.0, cham)
         if weights is not None:
             cham = cham * jnp.asarray(weights)[:, None]
+
+        feats = None
+        if return_features:
+            feats = {}
+            for name in feature_names:
+                near = ring_knn_gather(
+                    b_feats[name], nn.idx, lb,
+                    mesh=mesh, point_axis=point_axis, batch_axis=batch_axis,
+                )[..., 0, :]
+                cos = _cosine_similarity(a_feats[name], near)
+                cos = jnp.abs(cos) if abs_cosine else cos
+                fd = jnp.where(mask, 0.0, 1.0 - cos)
+                if weights is not None:
+                    fd = fd * jnp.asarray(weights)[:, None]
+                feats[name] = fd
+
         if point_reduction == "max":
-            return cham.max(axis=1)
+            return cham.max(axis=1), feats
         if point_reduction is not None:
             cham = cham.sum(axis=1)
+            if feats is not None:
+                feats = {k: v.sum(axis=1) for k, v in feats.items()}
             if point_reduction == "mean":
-                cham = cham / jnp.clip(la, min=1)
-        return cham
+                la_c = jnp.clip(la, min=1)
+                cham = cham / la_c
+                if feats is not None:
+                    feats = {k: v / la_c for k, v in feats.items()}
+        return cham, feats
 
-    cham_x = one_direction(x, y, x_lengths, y_lengths)
+    cham_x, feats_x = one_direction(
+        x, y, x_lengths, y_lengths, x_features, y_features
+    )
     if single_directional:
         loss = cham_x
+        loss_features = feats_x
     else:
-        cham_y = one_direction(y, x, y_lengths, x_lengths)
+        cham_y, feats_y = one_direction(
+            y, x, y_lengths, x_lengths, y_features, x_features
+        )
         if point_reduction == "max":
             loss = jnp.maximum(cham_x, cham_y)
+            loss_features = None
         elif point_reduction is not None:
             loss = cham_x + cham_y
+            loss_features = (
+                {k: feats_x[k] + feats_y[k] for k in feats_x}
+                if feats_x is not None
+                else None
+            )
         else:
             loss = (cham_x, cham_y)
+            loss_features = (
+                {k: (feats_x[k], feats_y[k]) for k in feats_x}
+                if feats_x is not None
+                else None
+            )
 
     if batch_reduction is not None and point_reduction is not None:
         loss = loss.sum()
+        if loss_features is not None:
+            loss_features = {k: v.sum() for k, v in loss_features.items()}
         if batch_reduction == "mean":
             if weights is None:
                 div = max(N, 1)
@@ -320,4 +507,10 @@ def ring_chamfer_distance(
                 wsum = jnp.asarray(weights).sum()
                 div = jnp.where(wsum == 0.0, 1.0, wsum)
             loss = loss / div
+            if loss_features is not None:
+                loss_features = {
+                    k: v / div for k, v in loss_features.items()
+                }
+    if return_features:
+        return loss, loss_features
     return loss

@@ -1,0 +1,136 @@
+"""Full benchmark matrix over the BASELINE.json configs, run on the attached
+accelerator (TPU when present).  Prints one JSON line per config and writes
+the full results to BENCH_DETAIL.json at the repo root.
+
+Configs (BASELINE.json "configs"):
+  1. knn_small        — 2-cloud batch (1000/800 pts, K=8) forward
+  2. pointnetpp_group — batch=32 ragged ~4k pts: FPS K=512 + ball query
+                        r=0.2 K=32 (PointNet++ set-abstraction workload)
+  3. chamfer_train    — chamfer fwd+bwd with normals+colors features,
+                        batch=16, 10k pts/cloud
+  4. knn_1m           — single-cloud KNN N=M=1M pts K=16 forward (+bwd)
+  5. multi-host       — covered by tests/test_ring.py + __graft_entry__
+                        dryrun (no pod attached here)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from pytorch3d_pointops_tpu import (
+    ball_query,
+    chamfer_distance,
+    knn_points,
+    sample_farthest_points,
+)
+
+
+def _force(out):
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+
+def timeit(fn, *args, iters=3):
+    _force(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        _force(fn(*args))
+    return (time.time() - t0) / iters
+
+
+def main():
+    results = {}
+    on_tpu = jax.default_backend() == "tpu"
+    quick = os.environ.get("BENCH_QUICK") == "1" or not on_tpu
+
+    # ---- config 1: 2-cloud batch (1000/800 pts, K=8) ----
+    k = jax.random.PRNGKey(0)
+    p1 = jax.random.normal(jax.random.fold_in(k, 0), (2, 1000, 3))
+    p2 = jax.random.normal(jax.random.fold_in(k, 1), (2, 1000, 3))
+    l1 = jnp.asarray([1000, 800], jnp.int32)
+    l2 = jnp.asarray([1000, 800], jnp.int32)
+    f = jax.jit(lambda a, b: knn_points(a, b, l1, l2, K=8).dists)
+    t = timeit(f, p1, p2)
+    results["knn_small"] = {"ms": t * 1e3, "queries_per_s": 1800 / t}
+
+    # ---- config 2: PointNet++ grouping, batch=32 x 4k pts ----
+    N, P = (8, 1024) if quick else (32, 4096)
+    KF = 128 if quick else 512
+    pts = jax.random.normal(jax.random.fold_in(k, 2), (N, P, 3))
+    lengths = jnp.asarray([P - (i % 7) * (P // 64) for i in range(N)], jnp.int32)
+
+    def group(points):
+        cent, _ = sample_farthest_points(points, lengths, K=KF)
+        g = ball_query(points, cent, lengths1=lengths, K=32, radius=0.2)
+        return g.dists.sum() + cent.sum()
+
+    f = jax.jit(group)
+    t = timeit(f, pts)
+    results["pointnetpp_group"] = {
+        "ms": t * 1e3,
+        "clouds_per_s": N / t,
+        "batch": N,
+        "pts": P,
+        "fps_K": KF,
+    }
+
+    # ---- config 3: chamfer fwd+bwd with normals+colors, batch=16 x 10k ----
+    N, P = (4, 2048) if quick else (16, 10240)
+    x = jax.random.normal(jax.random.fold_in(k, 3), (N, P, 3))
+    y = jax.random.normal(jax.random.fold_in(k, 4), (N, P, 3))
+    xf = {
+        "normals": jax.random.normal(jax.random.fold_in(k, 5), (N, P, 3)),
+        "colors": jax.random.uniform(jax.random.fold_in(k, 6), (N, P, 3)),
+    }
+    yf = {
+        "normals": jax.random.normal(jax.random.fold_in(k, 7), (N, P, 3)),
+        "colors": jax.random.uniform(jax.random.fold_in(k, 8), (N, P, 3)),
+    }
+
+    def chamfer_loss(x, y, xf, yf):
+        loss, lf = chamfer_distance(
+            x, y, x_features=xf, y_features=yf,
+            feature_names=["normals", "colors"],
+        )
+        return loss + lf["normals"] + lf["colors"]
+
+    fwdbwd = jax.jit(jax.value_and_grad(chamfer_loss, argnums=(0, 1)))
+    t = timeit(fwdbwd, x, y, xf, yf)
+    results["chamfer_train"] = {
+        "ms": t * 1e3,
+        "pairs_per_s": N * P / t,
+        "batch": N,
+        "pts": P,
+    }
+
+    # ---- config 4: single-cloud KNN 1M x 1M, K=16 ----
+    P = 100_000 if quick else 1_000_000
+    p1 = jax.random.normal(jax.random.fold_in(k, 9), (1, P, 3))
+    p2 = jax.random.normal(jax.random.fold_in(k, 10), (1, P, 3))
+    f = jax.jit(lambda a, b: knn_points(a, b, K=16).dists)
+    t = timeit(f, p1, p2, iters=1)
+    results["knn_1m" if not quick else "knn_100k"] = {
+        "ms": t * 1e3,
+        "queries_per_s": P / t,
+    }
+
+    for name, r in results.items():
+        print(json.dumps({"config": name, **{k: round(v, 2) if isinstance(v, float) else v for k, v in r.items()}}))
+
+    out_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    with open(out_path, "w") as fh:
+        json.dump(
+            {"backend": jax.default_backend(), "quick": quick, "results": results},
+            fh,
+            indent=2,
+        )
+    print(f"wrote {os.path.abspath(out_path)}")
+
+
+if __name__ == "__main__":
+    main()

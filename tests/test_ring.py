@@ -151,3 +151,48 @@ def test_ring_validation(mesh):
     p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(0), P1=60, P2=96)  # 60 % 8 != 0
     with pytest.raises(ValueError):
         ring_knn_points(p1, p2, l1, l2, K=4, mesh=mesh)
+
+
+def test_ring_chamfer_with_features_matches_single_chip(mesh):
+    """Feature cosine terms on the ring path (differentiable ring gather)
+    match the single-chip chamfer, forward and backward."""
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(11))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    f1 = {"normals": jax.random.normal(k1, (p1.shape[0], p1.shape[1], 3))}
+    f2 = {"normals": jax.random.normal(k2, (p2.shape[0], p2.shape[1], 3))}
+
+    def loss_ring(a, b, fa, fb):
+        loss, lf = ring_chamfer_distance(
+            a, b, l1, l2, x_features=fa, y_features=fb,
+            feature_names=["normals"], mesh=mesh,
+        )
+        return loss + lf["normals"]
+
+    def loss_ref(a, b, fa, fb):
+        loss, lf = chamfer_distance(
+            a, b, l1, l2, x_features=fa, y_features=fb,
+            feature_names=["normals"],
+        )
+        return loss + lf["normals"]
+
+    v_ring = loss_ring(p1, p2, f1, f2)
+    v_ref = loss_ref(p1, p2, f1, f2)
+    np.testing.assert_allclose(
+        np.asarray(v_ring), np.asarray(v_ref), atol=1e-5, rtol=1e-5
+    )
+
+    g_ring = jax.grad(loss_ring, (0, 1, 2, 3))(p1, p2, f1, f2)
+    g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(p1, p2, f1, f2)
+    for gr, gf in zip(g_ring[:2], g_ref[:2]):
+        np.testing.assert_allclose(
+            np.asarray(gr), np.asarray(gf), atol=1e-4, rtol=1e-4
+        )
+    for key in ("normals",):
+        np.testing.assert_allclose(
+            np.asarray(g_ring[2][key]), np.asarray(g_ref[2][key]),
+            atol=1e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ring[3][key]), np.asarray(g_ref[3][key]),
+            atol=1e-4, rtol=1e-4,
+        )
