@@ -128,6 +128,18 @@ def _knn_kernel(
     len2 = lengths2_ref[pl.program_id(0)]
     d = jnp.where(j * tile_p2 + col < len2, d, _INF)
 
+    if K == 1:
+        # Chamfer's case: the running top-1 is a plain min/argmin — no
+        # screen, no extraction loop; ~2 VPU passes over the distance tile.
+        m = jnp.min(d, axis=1)
+        am = jnp.argmin(d, axis=1).astype(jnp.int32)
+        better = m < out_d_ref[0][:, 0]
+        out_d_ref[0] = jnp.where(better[:, None], m[:, None], out_d_ref[0])
+        out_i_ref[0] = jnp.where(
+            better[:, None], (j * tile_p2 + am)[:, None], out_i_ref[0]
+        )
+        return
+
     # Admission screen: the state is sorted ascending, so its last column is
     # the kth-smallest distance so far.  Strict < matches MinK's replace-max
     # test (first-seen wins on exact ties, mink.cuh:70).

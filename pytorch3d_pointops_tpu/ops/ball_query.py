@@ -7,9 +7,11 @@ exactly): the returned neighbors are the **first K points in scan order** with
 padded with -1 and dists with 0 (ball_query.cu:102-103).
 
 The sequential CUDA scan (`for j ... count < K`) becomes a data-parallel
-cumulative-count: rank[j] = (number of in-radius points with index < j); a
-point is kept iff in-radius and rank < K, and its output slot *is* its rank —
-a deterministic scatter with unique target slots (no atomics needed).
+selection: "the first K in-radius points in scan order" are exactly the K
+*smallest column indices* among in-radius points, so the op is a
+``lax.top_k`` over the key ``where(in_radius, j, +BIG)`` — no scatter (TPU
+scatters serialize), and the returned order is ascending-index = scan order
+by construction.  Distances are gathered back from the tile afterwards.
 
 Backward reuses the KNN backward with norm=2 on the (-1)-padded idx, exactly
 like the reference (functions/ball_query.py:47-51).
@@ -34,28 +36,29 @@ _FULL_MATRIX_MAX_ELEMS = 32 * 1024 * 1024
 _TILE_P2 = 4096
 
 
-def _scatter_slots(d2, in_radius, base_count, j_offset, K, out_d, out_i):
-    """Scatter in-radius points of a (N, P1, T) tile into their rank slots."""
-    N, P1, T = d2.shape
-    # rank within the output, accounting for earlier tiles
-    local_rank = jnp.cumsum(in_radius.astype(jnp.int32), axis=-1) - 1
-    rank = base_count[..., None] + local_rank
-    slot = jnp.where(in_radius & (rank < K), rank, K)  # K -> dropped
-    j_idx = jnp.broadcast_to(
-        j_offset + jnp.arange(T, dtype=jnp.int32), (N, P1, T)
-    )
+_BIG = jnp.int32(2**30)
 
-    def one(out_d_n, out_i_n, slot_n, d2_n, j_n):
-        i_idx = jnp.broadcast_to(
-            jnp.arange(P1, dtype=jnp.int32)[:, None], (P1, T)
-        )
-        out_d_n = out_d_n.at[i_idx, slot_n].set(d2_n, mode="drop")
-        out_i_n = out_i_n.at[i_idx, slot_n].set(j_n, mode="drop")
-        return out_d_n, out_i_n
 
-    out_d, out_i = jax.vmap(one)(out_d, out_i, slot, d2, j_idx)
-    new_count = base_count + in_radius.astype(jnp.int32).sum(-1)
-    return out_d, out_i, new_count
+def _first_k_in_radius(d2, in_radius, j_offset, K):
+    """First-K-by-scan-order of a (N, P1, T) tile: the K smallest global
+    column indices among in-radius entries, as (keys (N,P1,K) ascending with
+    _BIG pads, dists (N,P1,K))."""
+    T = d2.shape[2]
+    col = j_offset + jnp.arange(T, dtype=jnp.int32)
+    key = jnp.where(in_radius, col[None, None, :], _BIG)
+    Kp = min(K, T)
+    neg, sel = lax.top_k(-key, Kp)  # K smallest keys, ascending
+    kk = -neg
+    dv = jnp.take_along_axis(d2, sel, axis=-1)
+    if Kp < K:
+        kk = jnp.pad(kk, ((0, 0), (0, 0), (0, K - Kp)), constant_values=_BIG)
+        dv = jnp.pad(dv, ((0, 0), (0, 0), (0, K - Kp)))
+    return kk, dv
+
+
+def _finalize_ball(kk, dv):
+    valid = kk < _BIG
+    return jnp.where(valid, dv, 0.0), jnp.where(valid, kk, -1)
 
 
 def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius):
@@ -68,48 +71,43 @@ def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius):
         jnp.arange(P1, dtype=jnp.int32)[None, :] < lengths1[:, None]
     )  # (N, P1)
 
-    out_d = jnp.zeros((N, P1, K), jnp.float32)
-    out_i = jnp.full((N, P1, K), -1, jnp.int32)
-
     if N * P1 * P2 <= _FULL_MATRIX_MAX_ELEMS:
         d2 = _pairwise_dist(p1, p2, 2)  # (N, P1, P2)
         j_valid = jnp.arange(P2, dtype=jnp.int32)[None, :] < lengths2[:, None]
         in_radius = (d2 < r2) & j_valid[:, None, :] & i_valid[..., None]
-        out_d, out_i, _ = _scatter_slots(
-            d2,
-            in_radius,
-            jnp.zeros((N, P1), jnp.int32),
-            jnp.int32(0),
-            K,
-            out_d,
-            out_i,
-        )
-        return out_d, out_i
+        kk, dv = _first_k_in_radius(d2, in_radius, jnp.int32(0), K)
+        return _finalize_ball(kk, dv)
 
-    # Streaming path: scan P2 tiles carrying the per-query hit count.
+    # Streaming path: scan P2 tiles, merging "K smallest keys" states — the
+    # merge is a concat + top_k like the KNN streaming merge, associative
+    # because keys are globally unique column indices.
     T = min(_TILE_P2, P2)
     P2pad = -(-P2 // T) * T
     p2p = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
     tiles = jnp.moveaxis(p2p.reshape(N, P2pad // T, T, D), 1, 0)  # (nt,N,T,D)
     offsets = jnp.arange(P2pad // T, dtype=jnp.int32) * T
 
+    init = (
+        jnp.full((N, P1, K), _BIG, jnp.int32),
+        jnp.zeros((N, P1, K), jnp.float32),
+    )
+
     def step(carry, inp):
-        out_d, out_i, count = carry
+        sk, sd = carry
         yt, off = inp
         d2 = _pairwise_dist(p1, yt, 2)  # (N, P1, T)
         j_valid = (off + jnp.arange(T, dtype=jnp.int32))[None, :] < lengths2[
             :, None
         ]
         in_radius = (d2 < r2) & j_valid[:, None, :] & i_valid[..., None]
-        out_d, out_i, count = _scatter_slots(
-            d2, in_radius, count, off, K, out_d, out_i
-        )
-        return (out_d, out_i, count), None
+        kk, dv = _first_k_in_radius(d2, in_radius, off, K)
+        cand_k = jnp.concatenate([sk, kk], axis=2)
+        cand_d = jnp.concatenate([sd, dv], axis=2)
+        neg, sel = lax.top_k(-cand_k, K)
+        return (-neg, jnp.take_along_axis(cand_d, sel, axis=2)), None
 
-    (out_d, out_i, _), _ = lax.scan(
-        step, (out_d, out_i, jnp.zeros((N, P1), jnp.int32)), (tiles, offsets)
-    )
-    return out_d, out_i
+    (sk, sd), _ = lax.scan(step, init, (tiles, offsets))
+    return _finalize_ball(sk, sd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -1,3 +1,4 @@
+from . import multihost
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -14,4 +15,5 @@ __all__ = [
     "ring_knn_points",
     "ring_knn_gather",
     "ring_chamfer_distance",
+    "multihost",
 ]

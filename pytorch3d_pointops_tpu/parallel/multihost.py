@@ -1,0 +1,75 @@
+"""Multi-host initialization and cross-host sharding helpers.
+
+The reference has no communication backend at all (SURVEY §2.3: no
+NCCL/MPI/Gloo anywhere, single process only).  The TPU-native equivalent is
+``jax.distributed`` + XLA collectives: within a pod slice the ring permutes
+of ``parallel/ring.py`` ride ICI; across hosts XLA routes over DCN.  This
+module is the thin process-level entry point — everything else in the
+framework is expressed against the global mesh and needs no per-host code.
+
+Typical pod usage::
+
+    from pytorch3d_pointops_tpu.parallel import multihost, make_mesh
+    multihost.initialize()                  # once per process, before jax use
+    mesh = make_mesh((jax.process_count(), jax.local_device_count()),
+                     ("dp", "sp"))
+    # build global arrays from per-host shards:
+    x = multihost.host_local_to_global(x_local, mesh, ("dp", "sp", None))
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (no-op if already initialized
+    or running single-process).  On Cloud TPU pods the arguments are
+    auto-detected from the environment; pass them explicitly elsewhere."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Single-process run (no coordinator configured): nothing to do —
+        # every collective in this framework degrades to a copy on a
+        # single-device mesh axis.
+        pass
+
+
+def host_local_to_global(
+    local_arr,
+    mesh: Mesh,
+    spec: Sequence[Optional[str]],
+):
+    """Assemble a global jax.Array from per-host shards.
+
+    ``local_arr`` is this host's slab of the global array (concatenated
+    along the first sharded axis, the usual data-loader layout);
+    ``spec`` is the PartitionSpec entries for each dimension.
+    """
+    pspec = P(*spec)
+    sharding = NamedSharding(mesh, pspec)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(local_arr))
+
+
+def global_to_host_local(global_arr) -> np.ndarray:
+    """Fetch this host's addressable shards of a global array, concatenated
+    in shard order — the inverse of :func:`host_local_to_global` for
+    checkpoint-style host-side processing."""
+    shards = sorted(
+        global_arr.addressable_shards, key=lambda s: s.index
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -66,7 +66,9 @@ def main():
 
     def group(points):
         cent, _ = sample_farthest_points(points, lengths, K=KF)
-        g = ball_query(points, cent, lengths1=lengths, K=32, radius=0.2)
+        # PointNet++ set abstraction: each centroid gathers its r-ball
+        # neighborhood from the full cloud.
+        g = ball_query(cent, points, lengths2=lengths, K=32, radius=0.2)
         return g.dists.sum() + cent.sum()
 
     f = jax.jit(group)

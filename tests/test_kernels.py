@@ -22,13 +22,14 @@ def _clouds(key, N, P1, P2, D=3):
 
 
 @pytest.mark.parametrize("norm", [1, 2])
-def test_knn_pallas_matches_xla(norm):
+@pytest.mark.parametrize("K", [1, 8])  # K=1 exercises the min-only fast path
+def test_knn_pallas_matches_xla(norm, K):
     p1, p2, l2 = _clouds(jax.random.PRNGKey(norm), 2, 100, 300)
     l1 = jnp.full((2,), 100, jnp.int32)
     d_pal, i_pal = knn_forward_pallas(
-        p1, p2, l2, K=8, norm=norm, tile_p1=32, tile_p2=64, interpret=True
+        p1, p2, l2, K=K, norm=norm, tile_p1=32, tile_p2=64, interpret=True
     )
-    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, norm)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, norm)
     np.testing.assert_allclose(
         np.asarray(d_pal), np.asarray(d_ref), atol=1e-5, rtol=1e-5
     )
