@@ -14,6 +14,7 @@ from .ops import (
     ball_query,
     chamfer_distance,
     get_point_covariances,
+    knn_check_version,
     knn_gather,
     knn_points,
     masked_gather,
@@ -41,6 +42,7 @@ __all__ = [
     "ball_query",
     "chamfer_distance",
     "get_point_covariances",
+    "knn_check_version",
     "knn_gather",
     "knn_points",
     "masked_gather",

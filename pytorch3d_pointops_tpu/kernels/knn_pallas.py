@@ -18,12 +18,10 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   csrc/utils/mink.cuh:62-83); when none do — the overwhelmingly common case
   once enough points have streamed past, for the same reason the CUDA MinK's
   O(K) replace-max scan amortizes to O(1) — the tile costs one extra pass.
-  Otherwise the survivors are extracted by K statically-unrolled
-  min+argmin sweeps over a VMEM scratch buffer, each predicated on
-  ``k < max_row_winners`` so a tile only pays for the admissions it actually
-  has, then merged into the state with one small top-K pass.  (A
-  per-128-lane-group batched variant was tried and is *slower*: the
-  (T1,T2)->(T1,G,128) regroup is a full vreg relayout per round on TPU.)
+  Otherwise the survivors are extracted by K statically-unrolled min+argmin
+  sweeps over a VMEM scratch buffer, each predicated on
+  ``k < max_row_winners`` so a tile only pays for the admissions it
+  actually has, then merged into the state with one small top-K pass.
   Ties resolve to the leftmost candidate, preserving the reference's
   first-seen-wins + ascending-sort semantics (functions/knn.py:77-89).
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
@@ -78,7 +76,7 @@ def _merge_topk(cand_d: Array, cand_i: Array, K: int):
 def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1_ref,  # VMEM (1, TILE_P1, D)
-    p2_ref,  # VMEM (1, TILE_P2, D)
+    p2_ref,  # VMEM (1, D, TILE_P2) — transposed: coord rows ride the lanes
     out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
     out_i_ref,  # VMEM (1, TILE_P1, K)
     dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
@@ -97,32 +95,34 @@ def _knn_kernel(
         out_i_ref[...] = jnp.zeros(out_i_ref.shape, jnp.int32)
 
     x = p1_ref[0]  # (TILE_P1, D)
-    y = p2_ref[0]  # (TILE_P2, D)
+    y_t = p2_ref[0]  # (D, TILE_P2): y_t[di] is already lane-resident
 
     D = x.shape[1]
+    T1 = x.shape[0]
+    T2 = y_t.shape[1]
     if norm == 2 and D > 8:
         x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (TILE_P1, 1)
-        y2 = jnp.sum(y * y, axis=1, keepdims=True)  # (TILE_P2, 1)
+        y2 = jnp.sum(y_t * y_t, axis=0, keepdims=True)  # (1, TILE_P2)
         xy = jax.lax.dot_general(
             x,
-            y,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            y_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (TILE_P1, TILE_P2) on the MXU
-        d = jnp.maximum(x2 + y2.T - 2.0 * xy, 0.0)
+        d = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
     elif norm == 2:
         # Small D: exact f32 per-axis accumulation on the VPU — matches the
         # reference CUDA numerics (knn.cu:100-109) with no cancellation and
         # no bf16 MXU rounding.
-        d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+        d = jnp.zeros((T1, T2), jnp.float32)
         for di in range(D):
-            diff = x[:, di][:, None] - y[:, di][None, :]
+            diff = x[:, di][:, None] - y_t[di][None, :]
             d = d + diff * diff
     else:
-        d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+        d = jnp.zeros((T1, T2), jnp.float32)
         for di in range(D):
-            d = d + jnp.abs(x[:, di][:, None] - y[:, di][None, :])
+            d = d + jnp.abs(x[:, di][:, None] - y_t[di][None, :])
 
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     len2 = lengths2_ref[pl.program_id(0)]
@@ -153,7 +153,11 @@ def _knn_kernel(
         # Winner extraction over VMEM scratch, mutated in place (a loop carry
         # would copy the (TILE_P1, TILE_P2) buffer every iteration), with K
         # statically-unrolled steps each predicated on k < maxc so late tiles
-        # (few admissions) skip almost all of them.
+        # (few admissions) skip almost all of them.  Two batched-round
+        # variants (per-128-lane-group minima retired together) were
+        # measured SLOWER: via reshape (full vreg relayout per round) and
+        # via static lane slices (fixed cost of G small reduces beats the
+        # win); see git history before tuning further.
         dw_ref[...] = jnp.where(win, d, _INF)
         cand_d_ref[...] = jnp.full(cand_d_ref.shape, _INF, jnp.float32)
         for k in range(K):
@@ -214,6 +218,10 @@ def knn_forward_pallas(
         p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
     if P2pad != P2:
         p2 = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
+    # Transpose reference clouds host-side so each coordinate row is
+    # lane-contiguous in VMEM — the kernel would otherwise pay a
+    # sublane->lane relayout of every (TILE_P2, D) block per grid step.
+    p2_t = jnp.swapaxes(p2, 1, 2)  # (N, D, P2pad)
     lengths2_smem = lengths2.astype(jnp.int32)
 
     grid = (N, P1pad // tile_p1, P2pad // tile_p2)
@@ -227,7 +235,7 @@ def knn_forward_pallas(
                 (1, tile_p1, D), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, tile_p2, D), lambda n, i, j, _l2: (n, j, 0), memory_space=pltpu.VMEM
+                (1, D, tile_p2), lambda n, i, j, _l2: (n, 0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -260,6 +268,6 @@ def knn_forward_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths2_smem, p1, p2)
+    )(lengths2_smem, p1, p2_t)
 
     return out_d[:, :P1], out_i[:, :P1]

@@ -336,6 +336,23 @@ def knn_points(
     return _KNN(dists=dists, idx=idx, knn=nn)
 
 
+def knn_check_version(version: int, D: int, K: int) -> bool:
+    """API-parity shim for the reference's ``knn_check_version``
+    (csrc/knn/knn.cu:292-303, exported via ext.cpp:19): reports whether the
+    given CUDA kernel variant id would be valid for (D, K).  The TPU backend
+    has a single streaming kernel — XLA specializes per static shape — so
+    this exists purely for introspection-compatible code."""
+    if version == 0:
+        return True
+    if version == 1:
+        return 1 <= D <= 32
+    if version == 2:
+        return 1 <= D <= 8 and 1 <= K <= 32
+    if version == 3:
+        return 1 <= D <= 8 and 1 <= K <= 4
+    return False
+
+
 def knn_gather(x: Array, idx: Array, lengths: Optional[Array] = None) -> Array:
     """Gather (N, M, U) values by KNN indices (N, L, K) -> (N, L, K, U),
     zero-filling entries where ``k >= lengths[n]``

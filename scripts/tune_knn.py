@@ -30,11 +30,11 @@ def _dist_only_kernel(lengths2_ref, p1_ref, p2_ref, out_d_ref, *, tile_p2):
         out_d_ref[...] = jnp.full(out_d_ref.shape, _INF, jnp.float32)
 
     x = p1_ref[0]
-    y = p2_ref[0]
+    y_t = p2_ref[0]  # (D, T2) transposed like the real kernel
     D = x.shape[1]
-    d = jnp.zeros((x.shape[0], y.shape[0]), jnp.float32)
+    d = jnp.zeros((x.shape[0], y_t.shape[1]), jnp.float32)
     for di in range(D):
-        diff = x[:, di][:, None] - y[:, di][None, :]
+        diff = x[:, di][:, None] - y_t[di][None, :]
         d = d + diff * diff
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     len2 = lengths2_ref[pl.program_id(0)]
@@ -43,9 +43,9 @@ def _dist_only_kernel(lengths2_ref, p1_ref, p2_ref, out_d_ref, *, tile_p2):
     out_d_ref[0] = jnp.minimum(out_d_ref[0], jnp.min(d, axis=1, keepdims=True))
 
 
-def dist_only(p1, p2, lengths2, tile_p1, tile_p2):
+def dist_only(p1, p2t, lengths2, tile_p1, tile_p2):
     N, P1, D = p1.shape
-    P2 = p2.shape[1]
+    P2 = p2t.shape[2]
     grid = (N, P1 // tile_p1, P2 // tile_p2)
     kernel = functools.partial(_dist_only_kernel, tile_p2=tile_p2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -54,7 +54,7 @@ def dist_only(p1, p2, lengths2, tile_p1, tile_p2):
         in_specs=[
             pl.BlockSpec((1, tile_p1, D), lambda n, i, j, _l: (n, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_p2, D), lambda n, i, j, _l: (n, j, 0),
+            pl.BlockSpec((1, D, tile_p2), lambda n, i, j, _l: (n, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -69,7 +69,7 @@ def dist_only(p1, p2, lengths2, tile_p1, tile_p2):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(lengths2, p1, p2)
+    )(lengths2, p1, p2t)
     return out
 
 
@@ -95,8 +95,8 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
 
-    for t1, t2 in [(64, 4096), (128, 4096), (256, 4096), (128, 2048),
-                   (256, 2048), (128, 8192)]:
+    for t1, t2 in [(64, 4096), (128, 4096), (64, 2048), (64, 8192),
+                   (128, 2048), (32, 4096)]:
         # pad P to multiples handled inside knn_forward_pallas
         try:
             t_full = timeit(
@@ -109,11 +109,11 @@ if __name__ == "__main__":
             print(f"full  T1={t1:5d} T2={t2:5d}: FAIL {type(e).__name__}: "
                   f"{str(e)[:120]}")
 
-    for t1, t2 in [(64, 4096), (64, 8192)]:
+    for t1, t2 in [(64, 4096), (128, 4096), (256, 4096)]:
         P1pad = -(-P // t1) * t1
         P2pad = -(-P // t2) * t2
         p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P), (0, 0)))
-        p2p = jnp.pad(p2, ((0, 0), (0, P2pad - P), (0, 0)))
+        p2p = jnp.swapaxes(jnp.pad(p2, ((0, 0), (0, P2pad - P), (0, 0))), 1, 2)
         t_d = timeit(
             jax.jit(functools.partial(dist_only, tile_p1=t1, tile_p2=t2),
                     static_argnames=()),
