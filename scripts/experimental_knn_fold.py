@@ -1,0 +1,368 @@
+"""EXPERIMENTAL hierarchical-fold KNN kernel — NOT the production path.
+
+Exact in interpreter mode (validated by the same tests as the production
+kernel) but SIGABRTs the remote Mosaic TPU compiler at every tile size
+tried (r1).  Kept for a future round to isolate the compile failure: the
+fold chain replaces full-width min/argmin sweeps (the production kernel's
+dominant cost, ~58% of runtime) with cheap aligned pairwise mins down to a
+(T1, 256) buffer + per-group watermark re-screening.  Expected ~1.5-2x on
+the 100k/K=16 headline if it compiles.  See CLAUDE.md perf log.
+"""
+
+"""Pallas TPU kernel for brute-force KNN with streaming top-K selection.
+
+The TPU-native replacement for the reference's four CUDA kernel variants
+(csrc/knn/knn.cu:28-312).  Design:
+
+* Grid ``(N, P1/TILE_P1, P2/TILE_P2)`` with the P2 axis innermost.  Each
+  program computes a (TILE_P1, TILE_P2) distance tile — the L2 path uses the
+  ``|x|^2 + |y|^2 - 2 x.y^T`` expansion so the cross term rides the MXU — and
+  merges it into a running (TILE_P1, K) top-K state.
+* The running state lives in the *output VMEM block*: consecutive P2 grid
+  steps map to the same output block, which Pallas keeps resident, so the
+  selection state never round-trips to HBM (the VMEM analog of the CUDA
+  kernels' register-resident MinK, csrc/utils/mink.cuh:41-126).
+* Top-K merge is **threshold-screened and group-batched**: the carried state
+  is kept sorted, so its last column is the kth-smallest distance seen so
+  far.  Each tile first computes, in one cheap pass, which candidates
+  strictly beat that threshold (the MinK ``dist < max`` admission test,
+  csrc/utils/mink.cuh:62-83); when none do — the overwhelmingly common case
+  once enough points have streamed past, for the same reason the CUDA MinK's
+  O(K) replace-max scan amortizes to O(1) — the tile costs one extra pass.
+  Otherwise the survivors are extracted by K statically-unrolled min+argmin
+  sweeps over a VMEM scratch buffer, each predicated on
+  ``k < max_row_winners`` so a tile only pays for the admissions it
+  actually has, then merged into the state with one small top-K pass.
+  Ties resolve to the leftmost candidate, preserving the reference's
+  first-seen-wins + ascending-sort semantics (functions/knn.py:77-89).
+* ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
+  lengths1/row masking is applied by the caller (ops/knn.py
+  ``_apply_pad_conventions``), mirroring the split in the reference.
+
+Memory: one P1 tile of queries + one P2 tile of references + the (TILE_P1,
+K + TILE_P2) candidate buffers; everything else streams, so P1/P2 are
+unbounded (1M x 1M works in ~TILE-sized VMEM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_INF = float("inf")  # plain float: jnp constants would be captured as operands
+
+# Tuned on TPU v5e (scripts/tune_knn.py, N=M=100k K=16): smaller P1 tiles
+# lower the max-winners-per-tile bound that gates the extraction loop, and
+# wider P2 tiles amortize the screen; (64, 4096) beat (128, 2048) by 1.7x.
+DEFAULT_TILE_P1 = 64
+DEFAULT_TILE_P2 = 4096
+
+
+def _fold_width(tile_p2: int) -> int:
+    """Width of the folded group-minima buffer: halve while even, down to
+    256 lanes (2 vregs) — the sweet spot between fold cost and sweep cost."""
+    w = tile_p2
+    while w % 2 == 0 and w > 256:
+        w //= 2
+    return w
+
+
+def _merge_topk(cand_d: Array, cand_i: Array, K: int):
+    """K-pass min-extraction: returns (TILE_P1, K) ascending dists + idx.
+
+    Each pass takes the row-min (first occurrence on ties), recovers its
+    index via a one-hot reduce, then masks it out.  All VPU-friendly 2D ops.
+    """
+    cols = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+    out_d = []
+    out_i = []
+    for _ in range(K):
+        m = jnp.min(cand_d, axis=1)
+        am = jnp.argmin(cand_d, axis=1)
+        onehot = cols == am[:, None]
+        iv = jnp.max(jnp.where(onehot, cand_i, -1), axis=1)
+        out_d.append(m)
+        out_i.append(iv)
+        cand_d = jnp.where(onehot, _INF, cand_d)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _knn_kernel(
+    lengths2_ref,  # scalar-prefetch SMEM (N,) int32
+    p1_ref,  # VMEM (1, TILE_P1, D)
+    p2_ref,  # VMEM (1, D, TILE_P2) — transposed: coord rows ride the lanes
+    out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
+    out_i_ref,  # VMEM (1, TILE_P1, K)
+    dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
+    cand_d_ref,  # VMEM scratch (TILE_P1, K) — extracted winners
+    cand_i_ref,  # VMEM scratch (TILE_P1, K)
+    af_ref,  # VMEM scratch (TILE_P1, GF) — folded group minima
+    ai_ref,  # VMEM scratch (TILE_P1, GF) — their original lanes
+    wm_ref,  # VMEM scratch (TILE_P1, GF) — per-group extraction watermark
+    wml_ref,  # VMEM scratch (TILE_P1, GF) — watermark lane
+    *,
+    K: int,
+    norm: int,
+    tile_p2: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[...] = jnp.full(out_d_ref.shape, _INF, jnp.float32)
+        out_i_ref[...] = jnp.zeros(out_i_ref.shape, jnp.int32)
+
+    x = p1_ref[0]  # (TILE_P1, D)
+    y_t = p2_ref[0]  # (D, TILE_P2): y_t[di] is already lane-resident
+
+    D = x.shape[1]
+    T1 = x.shape[0]
+    T2 = y_t.shape[1]
+    if norm == 2 and D > 8:
+        x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (TILE_P1, 1)
+        y2 = jnp.sum(y_t * y_t, axis=0, keepdims=True)  # (1, TILE_P2)
+        xy = jax.lax.dot_general(
+            x,
+            y_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (TILE_P1, TILE_P2) on the MXU
+        d = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+    elif norm == 2:
+        # Small D: exact f32 per-axis accumulation on the VPU — matches the
+        # reference CUDA numerics (knn.cu:100-109) with no cancellation and
+        # no bf16 MXU rounding.
+        d = jnp.zeros((T1, T2), jnp.float32)
+        for di in range(D):
+            diff = x[:, di][:, None] - y_t[di][None, :]
+            d = d + diff * diff
+    else:
+        d = jnp.zeros((T1, T2), jnp.float32)
+        for di in range(D):
+            d = d + jnp.abs(x[:, di][:, None] - y_t[di][None, :])
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    len2 = lengths2_ref[pl.program_id(0)]
+    d = jnp.where(j * tile_p2 + col < len2, d, _INF)
+
+    if K == 1:
+        # Chamfer's case: the running top-1 is a plain min/argmin — no
+        # screen, no extraction loop; ~2 VPU passes over the distance tile.
+        m = jnp.min(d, axis=1)
+        am = jnp.argmin(d, axis=1).astype(jnp.int32)
+        better = m < out_d_ref[0][:, 0]
+        out_d_ref[0] = jnp.where(better[:, None], m[:, None], out_d_ref[0])
+        out_i_ref[0] = jnp.where(
+            better[:, None], (j * tile_p2 + am)[:, None], out_i_ref[0]
+        )
+        return
+
+    # Admission screen: the state is sorted ascending, so its last column is
+    # the kth-smallest distance so far.  Strict < matches MinK's replace-max
+    # test (first-seen wins on exact ties, mink.cuh:70).
+    state_d = out_d_ref[0]  # (TILE_P1, K) sorted ascending
+    thresh = state_d[:, K - 1][:, None]
+    win = d < thresh
+    maxc = jnp.minimum(jnp.max(jnp.sum(win.astype(jnp.int32), axis=1)), K)
+
+    GF = af_ref.shape[1]
+    n_folds = (tile_p2 // GF).bit_length() - 1
+
+    @pl.when(maxc > 0)
+    def _():
+        # Hierarchical winner extraction.  Full-width min/argmin sweeps are
+        # latency-bound cross-lane reduces over the whole (T1, T2) buffer
+        # (~0.7 us each); instead, fold the survivors to per-group minima
+        # (T1, GF) with contiguous-half pairwise mins — cheap aligned
+        # elementwise ops; group(lane) = lane % GF — and run the extraction
+        # sweeps on that 16x smaller buffer.  A group's min losing the merge
+        # proves the rest of its group loses too, so only same-group SECOND
+        # winners (rare) need more work: per-group (value, lane) watermarks
+        # detect them in one pass and the round repeats.  ≤ K rounds since a
+        # final top-K member has within-group rank ≤ K.
+        dw_ref[...] = jnp.where(win, d, _INF)
+        wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
+        wml_ref[...] = jnp.full(wml_ref.shape, -1, jnp.int32)
+        T1 = d.shape[0]
+        T2 = d.shape[1]
+        col_gf = jax.lax.broadcasted_iota(jnp.int32, (T1, GF), 1)
+
+        def round_body(carry):
+            r, _ = carry
+            a_d = dw_ref[...]
+            a_i = col
+            for _f in range(n_folds):
+                half = a_d.shape[1] // 2
+                keep_lo = a_d[:, :half] <= a_d[:, half:]  # ties: lower lane
+                a_d = jnp.where(keep_lo, a_d[:, :half], a_d[:, half:])
+                a_i = jnp.where(keep_lo, a_i[:, :half], a_i[:, half:])
+            af_ref[...] = a_d
+            ai_ref[...] = a_i
+            live = jnp.minimum(
+                jnp.max(jnp.sum((a_d < _INF).astype(jnp.int32), axis=1)), K
+            )
+            cand_d_ref[...] = jnp.full(cand_d_ref.shape, _INF, jnp.float32)
+            kcol = jax.lax.broadcasted_iota(
+                jnp.int32, (cand_d_ref.shape[0], K), 1
+            )
+
+            def sweep(k, _):
+                av = af_ref[...]
+                mval = jnp.min(av, axis=1)
+                # Exact tie order needs the lowest ORIGINAL lane among
+                # minima (slot order is lane % GF, not lane order).
+                lane_sel = jnp.min(
+                    jnp.where(av == mval[:, None], ai_ref[...], 2**30),
+                    axis=1,
+                )
+                ksel = kcol == k
+                cand_d_ref[...] = jnp.where(
+                    ksel, mval[:, None], cand_d_ref[...]
+                )
+                cand_i_ref[...] = jnp.where(
+                    ksel, j * tile_p2 + lane_sel[:, None], cand_i_ref[...]
+                )
+                # GF is a power of two when folds happened; % via mask.
+                g_sel = (
+                    lane_sel & (GF - 1)
+                    if GF & (GF - 1) == 0
+                    else jax.lax.rem(lane_sel, GF)
+                )
+                upd = (col_gf == g_sel[:, None]) & (mval[:, None] < _INF)
+                af_ref[...] = jnp.where(upd, _INF, av)
+                wm_ref[...] = jnp.where(upd, mval[:, None], wm_ref[...])
+                wml_ref[...] = jnp.where(upd, lane_sel[:, None], wml_ref[...])
+                return 0
+
+            jax.lax.fori_loop(0, live, sweep, 0)
+
+            # Candidates are ascending; state-first concat keeps state
+            # entries on exact ties (first-seen-wins).  (A rank-computation
+            # merge was tried and is slower: (T1, K, K) one-hots waste
+            # most of each vreg.)
+            cand_d = jnp.concatenate([out_d_ref[0], cand_d_ref[...]], axis=1)
+            cand_i = jnp.concatenate([out_i_ref[0], cand_i_ref[...]], axis=1)
+            new_d, new_i = _merge_topk(cand_d, cand_i, K)
+            out_d_ref[0] = new_d
+            out_i_ref[0] = new_i
+
+            # Prune: drop extracted entries (≤ their group watermark) and
+            # entries that no longer beat the tightened threshold; whatever
+            # survives is a same-group second winner for the next round.
+            t_new = new_d[:, K - 1][:, None]
+            reps = T2 // GF
+            wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=1)
+            wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=1)
+            dwv = dw_ref[...]
+            surv = (dwv < t_new) & (
+                (dwv > wm_b) | ((dwv == wm_b) & (col > wml_b))
+            )
+            dw_ref[...] = jnp.where(surv, dwv, _INF)
+            left = jnp.max(surv.astype(jnp.int32))
+            return r + 1, left
+
+        jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < K, c[1] > 0),
+            round_body,
+            (jnp.int32(0), jnp.int32(1)),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "norm", "tile_p1", "tile_p2", "interpret")
+)
+def knn_forward_pallas(
+    p1: Array,
+    p2: Array,
+    lengths2: Array,
+    K: int,
+    norm: int = 2,
+    tile_p1: int = DEFAULT_TILE_P1,
+    tile_p2: int = DEFAULT_TILE_P2,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Streaming brute-force KNN forward on TPU.
+
+    Args:
+        p1: (N, P1, D) queries; p2: (N, P2, D) references (f32).
+        lengths2: (N,) valid reference counts.
+        K: neighbors; norm: 1 or 2.
+
+    Returns:
+        (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
+        post-processing — callers apply the reference pad conventions.
+    """
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    tile_p1 = min(tile_p1, max(8, P1))
+    tile_p2 = min(tile_p2, max(8, P2))
+    P1pad = -(-P1 // tile_p1) * tile_p1
+    P2pad = -(-P2 // tile_p2) * tile_p2
+    if P1pad != P1:
+        p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
+    if P2pad != P2:
+        p2 = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
+    # Transpose reference clouds host-side so each coordinate row is
+    # lane-contiguous in VMEM — the kernel would otherwise pay a
+    # sublane->lane relayout of every (TILE_P2, D) block per grid step.
+    p2_t = jnp.swapaxes(p2, 1, 2)  # (N, D, P2pad)
+    lengths2_smem = lengths2.astype(jnp.int32)
+
+    grid = (N, P1pad // tile_p1, P2pad // tile_p2)
+
+    kernel = functools.partial(_knn_kernel, K=K, norm=norm, tile_p2=tile_p2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, D), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, D, tile_p2), lambda n, i, j, _l2: (n, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, K), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_p1, K), lambda n, i, j, _l2: (n, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
+            pltpu.VMEM((tile_p1, K), jnp.float32),
+            pltpu.VMEM((tile_p1, K), jnp.int32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.int32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.int32),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, P1pad, K), jnp.float32),
+            jax.ShapeDtypeStruct((N, P1pad, K), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * P1pad * P2pad * D,
+            bytes_accessed=4 * N * (P1pad * D + P2pad * D + 2 * P1pad * K),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2_smem, p1, p2_t)
+
+    return out_d[:, :P1], out_i[:, :P1]

@@ -96,3 +96,33 @@ def test_fps_pallas_per_cloud_k():
     assert (idx[0, 5:] == -1).all()
     assert (idx[0, :5] >= 0).all()
     assert (idx[1] >= 0).all()
+
+
+def test_knn_pallas_folded_extraction():
+    """tile_p2 > 256 exercises the hierarchical fold + watermark rounds
+    (same-group second winners); exact parity incl. tie order."""
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(11), 1, 64, 2048)
+    l1 = jnp.full((1,), 64, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=16, tile_p1=32, tile_p2=2048, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 16, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_duplicate_points_ties():
+    """Exact duplicates force distance ties across and within fold groups;
+    indices must keep ascending order (first-seen-wins)."""
+    key = jax.random.PRNGKey(12)
+    base = jax.random.normal(key, (1, 128, 3), jnp.float32)
+    p2 = jnp.concatenate([base, base, base, base], axis=1)  # every pt x4
+    p1 = base[:, :32]
+    l1 = jnp.full((1,), 32, jnp.int32)
+    l2 = jnp.full((1,), 512, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=8, tile_p1=32, tile_p2=512, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
