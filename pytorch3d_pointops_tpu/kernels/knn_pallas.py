@@ -21,9 +21,10 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   Otherwise the survivors are extracted by K statically-unrolled min+argmin
   sweeps over a VMEM scratch buffer, each predicated on
   ``k < max_row_winners`` so a tile only pays for the admissions it
-  actually has, then merged into the state with one small top-K pass.
-  Ties resolve to the leftmost candidate, preserving the reference's
-  first-seen-wins + ascending-sort semantics (functions/knn.py:77-89).
+  actually has; each winner is inserted into the sorted state directly
+  (rank + shift).  Ties keep the earlier-seen entry, preserving the
+  reference's first-seen-wins + ascending-sort semantics
+  (functions/knn.py:77-89).
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
   ``_apply_pad_conventions``), mirroring the split in the reference.
@@ -80,8 +81,6 @@ def _knn_kernel(
     out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
     out_i_ref,  # VMEM (1, TILE_P1, K)
     dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
-    cand_d_ref,  # VMEM scratch (TILE_P1, K) — extracted winners
-    cand_i_ref,  # VMEM scratch (TILE_P1, K)
     *,
     K: int,
     norm: int,
@@ -153,13 +152,14 @@ def _knn_kernel(
         # Winner extraction over VMEM scratch, mutated in place (a loop carry
         # would copy the (TILE_P1, TILE_P2) buffer every iteration), with K
         # statically-unrolled steps each predicated on k < maxc so late tiles
-        # (few admissions) skip almost all of them.  Two batched-round
-        # variants (per-128-lane-group minima retired together) were
-        # measured SLOWER: via reshape (full vreg relayout per round) and
-        # via static lane slices (fixed cost of G small reduces beats the
-        # win); see git history before tuning further.
+        # (few admissions) skip almost all of them.  Each extracted winner is
+        # immediately inserted into the sorted state (rank + shift on the
+        # (T1, K) buffers) — cheaper than an end-of-tile K-pass merge, and
+        # the candidate never round-trips through a buffer.  Two batched
+        # group-round variants were measured SLOWER (reshape relayout /
+        # small-reduce fixed costs); see CLAUDE.md perf log.
         dw_ref[...] = jnp.where(win, d, _INF)
-        cand_d_ref[...] = jnp.full(cand_d_ref.shape, _INF, jnp.float32)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, out_d_ref.shape[1:], 1)
         for k in range(K):
 
             @pl.when(k < maxc)
@@ -167,21 +167,38 @@ def _knn_kernel(
                 dw = dw_ref[...]
                 m = jnp.min(dw, axis=1)
                 am = jnp.argmin(dw, axis=1).astype(jnp.int32)
-                cand_d_ref[:, k] = m
-                cand_i_ref[:, k] = j * tile_p2 + am
+                # Sorted insertion: after equal state entries
+                # (first-seen-wins); pos == K (lost to the tightened kth,
+                # or m == inf on exhausted rows) leaves the state unchanged.
+                state = out_d_ref[0]
+                sti = out_i_ref[0]
+                pos = jnp.sum(
+                    (state <= m[:, None]).astype(jnp.int32),
+                    axis=1,
+                )[:, None]
+                shifted_d = jnp.concatenate(
+                    [state[:, :1], state[:, :-1]], axis=1
+                )
+                shifted_i = jnp.concatenate([sti[:, :1], sti[:, :-1]], axis=1)
+                out_d_ref[0] = jnp.where(
+                    kcol < pos,
+                    state,
+                    jnp.where(kcol == pos, m[:, None], shifted_d),
+                )
+                out_i_ref[0] = jnp.where(
+                    kcol < pos,
+                    sti,
+                    jnp.where(
+                        kcol == pos,
+                        (j * tile_p2 + am)[:, None],
+                        shifted_i,
+                    ),
+                )
                 # The scratch is rewritten next tile, so the final
                 # extraction can skip the mask-out write.
                 @pl.when(k + 1 < maxc)
                 def _():
                     dw_ref[...] = jnp.where(col == am[:, None], _INF, dw)
-
-        # Rows with fewer winners than maxc padded their tail with inf;
-        # carried-state-first ordering keeps state entries on those ties.
-        cand_d = jnp.concatenate([state_d, cand_d_ref[...]], axis=1)
-        cand_i = jnp.concatenate([out_i_ref[0], cand_i_ref[...]], axis=1)
-        new_d, new_i = _merge_topk(cand_d, cand_i, K)
-        out_d_ref[0] = new_d
-        out_i_ref[0] = new_i
 
 
 @functools.partial(
@@ -248,8 +265,6 @@ def knn_forward_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
-            pltpu.VMEM((tile_p1, K), jnp.float32),
-            pltpu.VMEM((tile_p1, K), jnp.int32),
         ],
     )
     out_d, out_i = pl.pallas_call(
