@@ -1,14 +1,3 @@
-"""EXPERIMENTAL hierarchical-fold KNN kernel — NOT the production path.
-
-Exact in interpreter mode (validated by the same tests as the production
-kernel) but SIGABRTs the remote Mosaic TPU compiler at every tile size
-tried (r1).  Kept for a future round to isolate the compile failure: the
-fold chain replaces full-width min/argmin sweeps (the production kernel's
-dominant cost, ~58% of runtime) with cheap aligned pairwise mins down to a
-(T1, 256) buffer + per-group watermark re-screening.  Expected ~1.5-2x on
-the 100k/K=16 headline if it compiles.  See CLAUDE.md perf log.
-"""
-
 """Pallas TPU kernel for brute-force KNN with streaming top-K selection.
 
 The TPU-native replacement for the reference's four CUDA kernel variants
@@ -32,9 +21,10 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   Otherwise the survivors are extracted by K statically-unrolled min+argmin
   sweeps over a VMEM scratch buffer, each predicated on
   ``k < max_row_winners`` so a tile only pays for the admissions it
-  actually has, then merged into the state with one small top-K pass.
-  Ties resolve to the leftmost candidate, preserving the reference's
-  first-seen-wins + ascending-sort semantics (functions/knn.py:77-89).
+  actually has; each winner is inserted into the sorted state directly
+  (rank + shift).  Ties keep the earlier-seen entry, preserving the
+  reference's first-seen-wins + ascending-sort semantics
+  (functions/knn.py:77-89).
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
   ``_apply_pad_conventions``), mirroring the split in the reference.
@@ -100,9 +90,7 @@ def _knn_kernel(
     out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
     out_i_ref,  # VMEM (1, TILE_P1, K)
     dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
-    cand_d_ref,  # VMEM scratch (TILE_P1, K) — extracted winners
-    cand_i_ref,  # VMEM scratch (TILE_P1, K)
-    af_ref,  # VMEM scratch (TILE_P1, GF) — folded group minima
+    af_ref,  # VMEM scratch (TILE_P1, GF) — folded per-group minima
     ai_ref,  # VMEM scratch (TILE_P1, GF) — their original lanes
     wm_ref,  # VMEM scratch (TILE_P1, GF) — per-group extraction watermark
     wml_ref,  # VMEM scratch (TILE_P1, GF) — watermark lane
@@ -172,107 +160,115 @@ def _knn_kernel(
     win = d < thresh
     maxc = jnp.minimum(jnp.max(jnp.sum(win.astype(jnp.int32), axis=1)), K)
 
+    kcol = jax.lax.broadcasted_iota(jnp.int32, out_d_ref.shape[1:], 1)
+
+    def insert(m, gidx):
+        """Insert (m, gidx) per row into the sorted state, ordered
+        lexicographically by (value, global index) — exactly the
+        reference's stable first-seen-wins order, independent of the
+        extraction schedule.  pos == K (lost to the tightened kth, or
+        m == inf on exhausted rows) leaves real entries unchanged."""
+        state = out_d_ref[0]
+        sti = out_i_ref[0]
+        mb = m[:, None]
+        gb = gidx[:, None]
+        pos = jnp.sum(
+            ((state < mb) | ((state == mb) & (sti < gb))).astype(jnp.int32),
+            axis=1,
+        )[:, None]
+        shifted_d = jnp.concatenate([state[:, :1], state[:, :-1]], axis=1)
+        shifted_i = jnp.concatenate([sti[:, :1], sti[:, :-1]], axis=1)
+        out_d_ref[0] = jnp.where(
+            kcol < pos, state, jnp.where(kcol == pos, mb, shifted_d)
+        )
+        out_i_ref[0] = jnp.where(
+            kcol < pos, sti, jnp.where(kcol == pos, gb, shifted_i)
+        )
+
     GF = af_ref.shape[1]
     n_folds = (tile_p2 // GF).bit_length() - 1
+    T1 = d.shape[0]
+    T2 = d.shape[1]
+    col_gf = jax.lax.broadcasted_iota(jnp.int32, (T1, GF), 1)
 
     @pl.when(maxc > 0)
     def _():
-        # Hierarchical winner extraction.  Full-width min/argmin sweeps are
-        # latency-bound cross-lane reduces over the whole (T1, T2) buffer
-        # (~0.7 us each); instead, fold the survivors to per-group minima
-        # (T1, GF) with contiguous-half pairwise mins — cheap aligned
-        # elementwise ops; group(lane) = lane % GF — and run the extraction
-        # sweeps on that 16x smaller buffer.  A group's min losing the merge
-        # proves the rest of its group loses too, so only same-group SECOND
-        # winners (rare) need more work: per-group (value, lane) watermarks
-        # detect them in one pass and the round repeats.  ≤ K rounds since a
-        # final top-K member has within-group rank ≤ K.
+        # Phase 1 — folded extraction.  Full-width min/argmin sweeps are
+        # reduce-tree bound over the whole (T1, T2) buffer (~0.7 us each);
+        # instead, fold the survivors to per-group minima (T1, GF) with
+        # contiguous-half pairwise mins (cheap aligned elementwise ops;
+        # group(lane) = lane % GF) and sweep the 16x smaller buffer.  Each
+        # extracted winner inserts straight into the sorted state.
         dw_ref[...] = jnp.where(win, d, _INF)
+        a_d = dw_ref[...]
+        # Lane ids tracked in f32 (exact below 2^24): Mosaic cannot lower
+        # int32 min-reductions, and the lane recovery below is a min-reduce.
+        a_i = col.astype(jnp.float32)
+        for _f in range(n_folds):
+            half = a_d.shape[1] // 2
+            keep_lo = a_d[:, :half] <= a_d[:, half:]  # ties: lower lane
+            a_d = jnp.where(keep_lo, a_d[:, :half], a_d[:, half:])
+            a_i = jnp.where(keep_lo, a_i[:, :half], a_i[:, half:])
+        af_ref[...] = a_d
+        ai_ref[...] = a_i
         wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
-        wml_ref[...] = jnp.full(wml_ref.shape, -1, jnp.int32)
-        T1 = d.shape[0]
-        T2 = d.shape[1]
-        col_gf = jax.lax.broadcasted_iota(jnp.int32, (T1, GF), 1)
+        wml_ref[...] = jnp.full(wml_ref.shape, -1.0, jnp.float32)
+        for k in range(K):
 
-        def round_body(carry):
-            r, _ = carry
-            a_d = dw_ref[...]
-            a_i = col
-            for _f in range(n_folds):
-                half = a_d.shape[1] // 2
-                keep_lo = a_d[:, :half] <= a_d[:, half:]  # ties: lower lane
-                a_d = jnp.where(keep_lo, a_d[:, :half], a_d[:, half:])
-                a_i = jnp.where(keep_lo, a_i[:, :half], a_i[:, half:])
-            af_ref[...] = a_d
-            ai_ref[...] = a_i
-            live = jnp.minimum(
-                jnp.max(jnp.sum((a_d < _INF).astype(jnp.int32), axis=1)), K
-            )
-            cand_d_ref[...] = jnp.full(cand_d_ref.shape, _INF, jnp.float32)
-            kcol = jax.lax.broadcasted_iota(
-                jnp.int32, (cand_d_ref.shape[0], K), 1
-            )
-
-            def sweep(k, _):
+            @pl.when(k < maxc)
+            def _(k=k):
                 av = af_ref[...]
                 mval = jnp.min(av, axis=1)
-                # Exact tie order needs the lowest ORIGINAL lane among
-                # minima (slot order is lane % GF, not lane order).
-                lane_sel = jnp.min(
-                    jnp.where(av == mval[:, None], ai_ref[...], 2**30),
+                # Lowest ORIGINAL lane among minima (slot order is
+                # lane % GF, not lane order).
+                lane_f = jnp.min(
+                    jnp.where(av == mval[:, None], ai_ref[...], 3e38),
                     axis=1,
                 )
-                ksel = kcol == k
-                cand_d_ref[...] = jnp.where(
-                    ksel, mval[:, None], cand_d_ref[...]
-                )
-                cand_i_ref[...] = jnp.where(
-                    ksel, j * tile_p2 + lane_sel[:, None], cand_i_ref[...]
-                )
-                # GF is a power of two when folds happened; % via mask.
-                g_sel = (
-                    lane_sel & (GF - 1)
-                    if GF & (GF - 1) == 0
-                    else jax.lax.rem(lane_sel, GF)
-                )
+                lane_sel = lane_f.astype(jnp.int32)
+                insert(mval, j * tile_p2 + lane_sel)
+                g_sel = lane_sel & (GF - 1) if GF & (GF - 1) == 0 else lane_sel
                 upd = (col_gf == g_sel[:, None]) & (mval[:, None] < _INF)
                 af_ref[...] = jnp.where(upd, _INF, av)
                 wm_ref[...] = jnp.where(upd, mval[:, None], wm_ref[...])
-                wml_ref[...] = jnp.where(upd, lane_sel[:, None], wml_ref[...])
-                return 0
+                wml_ref[...] = jnp.where(upd, lane_f[:, None], wml_ref[...])
 
-            jax.lax.fori_loop(0, live, sweep, 0)
-
-            # Candidates are ascending; state-first concat keeps state
-            # entries on exact ties (first-seen-wins).  (A rank-computation
-            # merge was tried and is slower: (T1, K, K) one-hots waste
-            # most of each vreg.)
-            cand_d = jnp.concatenate([out_d_ref[0], cand_d_ref[...]], axis=1)
-            cand_i = jnp.concatenate([out_i_ref[0], cand_i_ref[...]], axis=1)
-            new_d, new_i = _merge_topk(cand_d, cand_i, K)
-            out_d_ref[0] = new_d
-            out_i_ref[0] = new_i
-
-            # Prune: drop extracted entries (≤ their group watermark) and
-            # entries that no longer beat the tightened threshold; whatever
-            # survives is a same-group second winner for the next round.
-            t_new = new_d[:, K - 1][:, None]
+        if n_folds > 0:
+            # Phase 2 — rare fallback for same-group SECOND winners (phase 1
+            # retires at most one element per fold group): per-group
+            # (value, lane) watermarks identify what survived, and the
+            # classic full-width extraction finishes them off.  Lex
+            # insertion makes the final order independent of phase.
+            t_new = out_d_ref[0][:, K - 1][:, None]
             reps = T2 // GF
             wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=1)
             wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=1)
             dwv = dw_ref[...]
             surv = (dwv < t_new) & (
-                (dwv > wm_b) | ((dwv == wm_b) & (col > wml_b))
+                (dwv > wm_b)
+                | ((dwv == wm_b) & (col.astype(jnp.float32) > wml_b))
             )
-            dw_ref[...] = jnp.where(surv, dwv, _INF)
-            left = jnp.max(surv.astype(jnp.int32))
-            return r + 1, left
+            maxc2 = jnp.minimum(
+                jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1)), K
+            )
 
-        jax.lax.while_loop(
-            lambda c: jnp.logical_and(c[0] < K, c[1] > 0),
-            round_body,
-            (jnp.int32(0), jnp.int32(1)),
-        )
+            @pl.when(maxc2 > 0)
+            def _():
+                dw_ref[...] = jnp.where(surv, dwv, _INF)
+                for k in range(K):
+
+                    @pl.when(k < maxc2)
+                    def _(k=k):
+                        dw = dw_ref[...]
+                        m = jnp.min(dw, axis=1)
+                        am = jnp.argmin(dw, axis=1).astype(jnp.int32)
+                        insert(m, j * tile_p2 + am)
+
+                        @pl.when(k + 1 < maxc2)
+                        def _():
+                            dw_ref[...] = jnp.where(
+                                col == am[:, None], _INF, dw
+                            )
 
 
 @functools.partial(
@@ -339,12 +335,10 @@ def knn_forward_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
-            pltpu.VMEM((tile_p1, K), jnp.float32),
-            pltpu.VMEM((tile_p1, K), jnp.int32),
             pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
-            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.int32),
             pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
-            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.int32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
         ],
     )
     out_d, out_i = pl.pallas_call(
