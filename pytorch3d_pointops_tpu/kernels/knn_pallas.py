@@ -48,10 +48,12 @@ Array = jnp.ndarray
 _INF = float("inf")  # plain float: jnp constants would be captured as operands
 
 # Tuned on TPU v5e (scripts/tune_knn.py, N=M=100k K=16): smaller P1 tiles
-# lower the max-winners-per-tile bound that gates the extraction loop, and
-# wider P2 tiles amortize the screen; (64, 4096) beat (128, 2048) by 1.7x.
+# lower the max-winners-per-tile bound that gates the extraction loop;
+# with insertion-fused merging the extraction sweep cost scales with
+# TILE_P2, moving the optimum to (64, 2048) — 401k q/s vs 366k at
+# (64, 4096) and 264k at (64, 512) where screen overhead dominates.
 DEFAULT_TILE_P1 = 64
-DEFAULT_TILE_P2 = 4096
+DEFAULT_TILE_P2 = 2048
 
 
 def _merge_topk(cand_d: Array, cand_i: Array, K: int):

@@ -420,6 +420,15 @@ class Pointclouds:
         new.equisized = self.equisized
         return new
 
+    def cpu(self) -> "Pointclouds":
+        """Move all arrays to the host CPU (reference point_structure.py:877)."""
+        return self.to(jax.devices("cpu")[0])
+
+    def accelerator(self) -> "Pointclouds":
+        """Move all arrays to the default accelerator — the TPU-native
+        analog of the reference's ``cuda()`` (point_structure.py:880)."""
+        return self.to(jax.devices()[0])
+
     def extend(self, N: int) -> "Pointclouds":
         if not isinstance(N, int):
             raise ValueError("N must be an integer.")

@@ -95,8 +95,8 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
 
-    for t1, t2 in [(64, 4096), (128, 4096), (64, 2048), (64, 8192),
-                   (128, 2048), (32, 4096)]:
+    for t1, t2 in [(64, 1024), (32, 2048), (32, 1024), (96, 2048),
+                   (64, 512), (48, 2048)]:
         # pad P to multiples handled inside knn_forward_pallas
         try:
             t_full = timeit(
@@ -109,7 +109,7 @@ if __name__ == "__main__":
             print(f"full  T1={t1:5d} T2={t2:5d}: FAIL {type(e).__name__}: "
                   f"{str(e)[:120]}")
 
-    for t1, t2 in [(64, 4096), (128, 4096), (256, 4096)]:
+    for t1, t2 in []:
         P1pad = -(-P // t1) * t1
         P2pad = -(-P // t2) * t2
         p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P), (0, 0)))
