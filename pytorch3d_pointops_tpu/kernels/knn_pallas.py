@@ -47,13 +47,21 @@ Array = jnp.ndarray
 
 _INF = float("inf")  # plain float: jnp constants would be captured as operands
 
-# Tuned on TPU v5e (scripts/tune_knn.py, N=M=100k K=16): smaller P1 tiles
-# lower the max-winners-per-tile bound that gates the extraction loop;
-# with insertion-fused merging the extraction sweep cost scales with
-# TILE_P2, moving the optimum to (64, 2048) — 401k q/s vs 366k at
-# (64, 4096) and 264k at (64, 512) where screen overhead dominates.
-DEFAULT_TILE_P1 = 64
+# Tuned on TPU v5e (scripts/tune_knn.py, N=M=100k K=16): with folded
+# extraction the per-winner sweep cost no longer scales with TILE_P2, so
+# large row tiles win — (256, 2048) = 535k q/s vs 402k at (64, 2048);
+# (384+, 2048) and (128+, 4096) exceed VMEM at compile.
+DEFAULT_TILE_P1 = 256
 DEFAULT_TILE_P2 = 2048
+
+
+def _fold_width(tile_p2: int) -> int:
+    """Width of the folded group-minima buffer: halve while even, down to
+    256 lanes (2 vregs) — the sweet spot between fold cost and sweep cost."""
+    w = tile_p2
+    while w % 2 == 0 and w > 256:
+        w //= 2
+    return w
 
 
 def _merge_topk(cand_d: Array, cand_i: Array, K: int):
@@ -83,6 +91,10 @@ def _knn_kernel(
     out_d_ref,  # VMEM (1, TILE_P1, K) — doubles as the running state
     out_i_ref,  # VMEM (1, TILE_P1, K)
     dw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened distances
+    af_ref,  # VMEM scratch (TILE_P1, GF) — folded per-group minima
+    ai_ref,  # VMEM scratch (TILE_P1, GF) — their original lanes (f32)
+    wm_ref,  # VMEM scratch (TILE_P1, GF) — per-group extraction watermark
+    wml_ref,  # VMEM scratch (TILE_P1, GF) — watermark lane (f32)
     *,
     K: int,
     norm: int,
@@ -149,58 +161,121 @@ def _knn_kernel(
     win = d < thresh
     maxc = jnp.minimum(jnp.max(jnp.sum(win.astype(jnp.int32), axis=1)), K)
 
+    kcol = jax.lax.broadcasted_iota(jnp.int32, out_d_ref.shape[1:], 1)
+
+    def insert(m, gidx):
+        """Insert (m, gidx) per row into the sorted state, ordered
+        lexicographically by (value, global index) — exactly the
+        reference's stable first-seen-wins order, independent of the
+        extraction schedule.  pos == K (lost to the tightened kth, or
+        m == inf on exhausted rows) leaves real entries unchanged."""
+        state = out_d_ref[0]
+        sti = out_i_ref[0]
+        mb = m[:, None]
+        gb = gidx[:, None]
+        pos = jnp.sum(
+            ((state < mb) | ((state == mb) & (sti < gb))).astype(jnp.int32),
+            axis=1,
+        )[:, None]
+        shifted_d = jnp.concatenate([state[:, :1], state[:, :-1]], axis=1)
+        shifted_i = jnp.concatenate([sti[:, :1], sti[:, :-1]], axis=1)
+        out_d_ref[0] = jnp.where(
+            kcol < pos, state, jnp.where(kcol == pos, mb, shifted_d)
+        )
+        out_i_ref[0] = jnp.where(
+            kcol < pos, sti, jnp.where(kcol == pos, gb, shifted_i)
+        )
+
+    GF = af_ref.shape[1]
+    n_folds = (tile_p2 // GF).bit_length() - 1
+    reps = T2 // GF
+    col_f = col.astype(jnp.float32)
+    col_gf = jax.lax.broadcasted_iota(jnp.int32, (T1, GF), 1)
+
     @pl.when(maxc > 0)
     def _():
-        # Winner extraction over VMEM scratch, mutated in place (a loop carry
-        # would copy the (TILE_P1, TILE_P2) buffer every iteration), with K
-        # statically-unrolled steps each predicated on k < maxc so late tiles
-        # (few admissions) skip almost all of them.  Each extracted winner is
-        # immediately inserted into the sorted state (rank + shift on the
-        # (T1, K) buffers) — cheaper than an end-of-tile K-pass merge, and
-        # the candidate never round-trips through a buffer.  Two batched
-        # group-round variants were measured SLOWER (reshape relayout /
-        # small-reduce fixed costs); see CLAUDE.md perf log.
+        # Phase 1 — folded extraction.  Full-width min/argmin sweeps are
+        # reduce-tree bound over the whole (T1, T2) buffer; instead, fold
+        # the survivors to per-stride-group minima (T1, GF) with
+        # contiguous-half pairwise minimum chains (group(lane) = lane % GF)
+        # and sweep the much smaller buffer.  Lane ids are recovered with a
+        # one-hot compare against the tiled group minima + a second minimum
+        # fold of masked f32 lane ids — NO dual-array select chains, which
+        # SIGABRT the Mosaic compiler (see CLAUDE.md), and f32 ids because
+        # int min-reductions don't lower.  Each winner inserts straight
+        # into the sorted state.
         dw_ref[...] = jnp.where(win, d, _INF)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, out_d_ref.shape[1:], 1)
+        h = dw_ref[...]
+        for _f in range(n_folds):
+            half = h.shape[1] // 2
+            h = jnp.minimum(h[:, :half], h[:, half:])
+        af_ref[...] = h
+        if n_folds > 0:
+            gm_b = jnp.concatenate([h] * reps, axis=1)
+            lane_val = jnp.where(dw_ref[...] == gm_b, col_f, 3e38)
+            for _f in range(n_folds):
+                half = lane_val.shape[1] // 2
+                lane_val = jnp.minimum(
+                    lane_val[:, :half], lane_val[:, half:]
+                )
+            ai_ref[...] = lane_val
+        else:
+            ai_ref[...] = col_f
+        wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
+        wml_ref[...] = jnp.full(wml_ref.shape, -1.0, jnp.float32)
         for k in range(K):
 
             @pl.when(k < maxc)
             def _(k=k):
-                dw = dw_ref[...]
-                m = jnp.min(dw, axis=1)
-                am = jnp.argmin(dw, axis=1).astype(jnp.int32)
-                # Sorted insertion: after equal state entries
-                # (first-seen-wins); pos == K (lost to the tightened kth,
-                # or m == inf on exhausted rows) leaves the state unchanged.
-                state = out_d_ref[0]
-                sti = out_i_ref[0]
-                pos = jnp.sum(
-                    (state <= m[:, None]).astype(jnp.int32),
+                av = af_ref[...]
+                mval = jnp.min(av, axis=1)
+                # Lowest original lane among current minima (exact ties).
+                lane_f = jnp.min(
+                    jnp.where(av == mval[:, None], ai_ref[...], 3e38),
                     axis=1,
-                )[:, None]
-                shifted_d = jnp.concatenate(
-                    [state[:, :1], state[:, :-1]], axis=1
                 )
-                shifted_i = jnp.concatenate([sti[:, :1], sti[:, :-1]], axis=1)
-                out_d_ref[0] = jnp.where(
-                    kcol < pos,
-                    state,
-                    jnp.where(kcol == pos, m[:, None], shifted_d),
-                )
-                out_i_ref[0] = jnp.where(
-                    kcol < pos,
-                    sti,
-                    jnp.where(
-                        kcol == pos,
-                        (j * tile_p2 + am)[:, None],
-                        shifted_i,
-                    ),
-                )
-                # The scratch is rewritten next tile, so the final
-                # extraction can skip the mask-out write.
-                @pl.when(k + 1 < maxc)
-                def _():
-                    dw_ref[...] = jnp.where(col == am[:, None], _INF, dw)
+                lane_sel = lane_f.astype(jnp.int32)
+                insert(mval, j * tile_p2 + lane_sel)
+                g_sel = lane_sel - (lane_sel // GF) * GF
+                upd = (col_gf == g_sel[:, None]) & (mval[:, None] < _INF)
+                af_ref[...] = jnp.where(upd, _INF, av)
+                wm_ref[...] = jnp.where(upd, mval[:, None], wm_ref[...])
+                wml_ref[...] = jnp.where(upd, lane_f[:, None], wml_ref[...])
+
+        if n_folds > 0:
+            # Phase 2 — rare fallback for same-group SECOND winners (phase 1
+            # retires at most one element per fold group): per-group
+            # (value, lane) watermarks identify survivors; the classic
+            # full-width extraction finishes them.  Lex insertion keeps the
+            # final order phase-independent.
+            t_new = out_d_ref[0][:, K - 1][:, None]
+            wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=1)
+            wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=1)
+            dwv = dw_ref[...]
+            surv = (dwv < t_new) & (
+                (dwv > wm_b) | ((dwv == wm_b) & (col_f > wml_b))
+            )
+            maxc2 = jnp.minimum(
+                jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1)), K
+            )
+
+            @pl.when(maxc2 > 0)
+            def _():
+                dw_ref[...] = jnp.where(surv, dwv, _INF)
+                for k in range(K):
+
+                    @pl.when(k < maxc2)
+                    def _(k=k):
+                        dw = dw_ref[...]
+                        m = jnp.min(dw, axis=1)
+                        am = jnp.argmin(dw, axis=1).astype(jnp.int32)
+                        insert(m, j * tile_p2 + am)
+
+                        @pl.when(k + 1 < maxc2)
+                        def _():
+                            dw_ref[...] = jnp.where(
+                                col == am[:, None], _INF, dw
+                            )
 
 
 @functools.partial(
@@ -267,6 +342,10 @@ def knn_forward_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
         ],
     )
     out_d, out_i = pl.pallas_call(

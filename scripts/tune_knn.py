@@ -95,8 +95,8 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
 
-    for t1, t2 in [(64, 1024), (32, 2048), (32, 1024), (96, 2048),
-                   (64, 512), (48, 2048)]:
+    for t1, t2 in [(256, 2048), (192, 2048), (128, 1024), (256, 1024),
+                   (512, 1024), (384, 2048)]:
         # pad P to multiples handled inside knn_forward_pallas
         try:
             t_full = timeit(
