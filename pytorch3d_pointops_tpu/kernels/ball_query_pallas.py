@@ -1,0 +1,222 @@
+"""Pallas TPU kernel for ball query (first K in-radius points, scan order).
+
+TPU-native replacement for the CUDA early-exit scan
+(csrc/ball_query/ball_query.cu:25-70).  "First K in scan order within the
+radius" is exactly the K *smallest column indices* among in-radius points,
+so this is the streaming KNN kernel (kernels/knn_pallas.py) run on the key
+matrix ``where(dist2 < r2, column, +inf)`` — with two big simplifications:
+
+* keys ARE global column indices, so no index side-car, lane recovery, or
+  tie handling is needed anywhere (keys are unique);
+* the admission threshold is the kth-smallest key seen so far, and column
+  indices only grow along the scan, so once a query's K slots fill, every
+  later tile fails the screen — the kernel's analog of the CUDA scan's
+  ``count < K`` early exit.
+
+Distances are NOT tracked in-kernel: the caller recomputes the K squared
+distances from the returned indices (same per-axis f32 arithmetic, so
+bit-identical), which is O(P1*K) against the kernel's O(P1*P2).
+
+Returns keys as f32 (+inf pads); int conversion and the reference pad
+conventions (idx -1, dist 0, lengths1 row masking) happen in the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .knn_pallas import DEFAULT_TILE_P1, DEFAULT_TILE_P2, _fold_width
+
+Array = jnp.ndarray
+
+_INF = float("inf")
+
+
+def _bq_kernel(
+    lengths2_ref,  # scalar-prefetch SMEM (N,) int32
+    p1_ref,  # VMEM (1, TILE_P1, D)
+    p2_ref,  # VMEM (1, D, TILE_P2) — transposed
+    out_k_ref,  # VMEM (1, TILE_P1, K) — running smallest keys (f32 cols)
+    kw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened keys
+    af_ref,  # VMEM scratch (TILE_P1, GF) — folded per-group min keys
+    wm_ref,  # VMEM scratch (TILE_P1, GF) — per-group extraction watermark
+    *,
+    K: int,
+    r2: float,
+    tile_p2: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_k_ref[...] = jnp.full(out_k_ref.shape, _INF, jnp.float32)
+
+    x = p1_ref[0]
+    y_t = p2_ref[0]
+    D = x.shape[1]
+    T1 = x.shape[0]
+    T2 = y_t.shape[1]
+    d = jnp.zeros((T1, T2), jnp.float32)
+    for di in range(D):
+        diff = x[:, di][:, None] - y_t[di][None, :]
+        d = d + diff * diff
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    gcol = j * tile_p2 + col
+    len2 = lengths2_ref[pl.program_id(0)]
+    key = jnp.where((d < r2) & (gcol < len2), gcol.astype(jnp.float32), _INF)
+
+    state = out_k_ref[0]  # (T1, K) ascending keys
+    thresh = state[:, K - 1][:, None]
+    win = key < thresh
+    maxc = jnp.minimum(jnp.max(jnp.sum(win.astype(jnp.int32), axis=1)), K)
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, out_k_ref.shape[1:], 1)
+
+    def insert(m):
+        st = out_k_ref[0]
+        mb = m[:, None]
+        pos = jnp.sum((st <= mb).astype(jnp.int32), axis=1)[:, None]
+        shifted = jnp.concatenate([st[:, :1], st[:, :-1]], axis=1)
+        out_k_ref[0] = jnp.where(
+            kcol < pos, st, jnp.where(kcol == pos, mb, shifted)
+        )
+
+    GF = af_ref.shape[1]
+    n_folds = (tile_p2 // GF).bit_length() - 1
+    col_gf = jax.lax.broadcasted_iota(jnp.int32, (T1, GF), 1)
+
+    @pl.when(maxc > 0)
+    def _():
+        kw_ref[...] = jnp.where(win, key, _INF)
+        h = kw_ref[...]
+        for _f in range(n_folds):
+            half = h.shape[1] // 2
+            h = jnp.minimum(h[:, :half], h[:, half:])
+        af_ref[...] = h
+        wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
+        for k in range(K):
+
+            @pl.when(k < maxc)
+            def _(k=k):
+                av = af_ref[...]
+                mkey = jnp.min(av, axis=1)
+                insert(mkey)
+                lane = mkey.astype(jnp.int32) - j * tile_p2
+                g_sel = lane - (lane // GF) * GF
+                upd = (col_gf == g_sel[:, None]) & (mkey[:, None] < _INF)
+                af_ref[...] = jnp.where(upd, _INF, av)
+                wm_ref[...] = jnp.where(upd, mkey[:, None], wm_ref[...])
+
+        if n_folds > 0:
+            # Same-group second winners (keys are unique, so the watermark
+            # alone separates extracted from remaining).
+            t_new = out_k_ref[0][:, K - 1][:, None]
+            reps = T2 // GF
+            wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=1)
+            kw = kw_ref[...]
+            surv = (kw < t_new) & (kw > wm_b)
+            maxc2 = jnp.minimum(
+                jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1)), K
+            )
+
+            @pl.when(maxc2 > 0)
+            def _():
+                kw_ref[...] = jnp.where(surv, kw, _INF)
+                for k in range(K):
+
+                    @pl.when(k < maxc2)
+                    def _(k=k):
+                        kw2 = kw_ref[...]
+                        m = jnp.min(kw2, axis=1)
+                        insert(m)
+
+                        @pl.when(k + 1 < maxc2)
+                        def _():
+                            kw_ref[...] = jnp.where(
+                                col == (m.astype(jnp.int32) - j * tile_p2)[
+                                    :, None
+                                ],
+                                _INF,
+                                kw2,
+                            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "radius", "tile_p1", "tile_p2", "interpret")
+)
+def ball_query_forward_pallas(
+    p1: Array,
+    p2: Array,
+    lengths2: Array,
+    K: int,
+    radius: float,
+    tile_p1: int = DEFAULT_TILE_P1,
+    tile_p2: int = DEFAULT_TILE_P2,
+    interpret: bool = False,
+) -> Array:
+    """Streaming ball query on TPU: returns (N, P1, K) int32 indices of the
+    first K in-radius points per query, -1-padded, ascending (scan order).
+    lengths1 row masking and distance computation happen in the caller."""
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    tile_p1 = min(tile_p1, max(8, P1))
+    tile_p2 = min(tile_p2, max(8, P2))
+    P1pad = -(-P1 // tile_p1) * tile_p1
+    P2pad = -(-P2 // tile_p2) * tile_p2
+    if P1pad != P1:
+        p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
+    if P2pad != P2:
+        p2 = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
+    p2_t = jnp.swapaxes(p2, 1, 2)
+
+    kernel = functools.partial(
+        _bq_kernel, K=K, r2=float(radius) * float(radius), tile_p2=tile_p2
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, P1pad // tile_p1, P2pad // tile_p2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, D), lambda n, i, j, _l: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, D, tile_p2), lambda n, i, j, _l: (n, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, K), lambda n, i, j, _l: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+        ],
+    )
+    (keys,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N, P1pad, K), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * P1pad * P2pad * D,
+            bytes_accessed=4 * N * (P1pad * D + P2pad * D + P1pad * K),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2.astype(jnp.int32), p1, p2_t)
+
+    keys = keys[:, :P1]
+    return jnp.where(keys < _INF, keys.astype(jnp.int32), -1)

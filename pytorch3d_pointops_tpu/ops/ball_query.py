@@ -61,11 +61,40 @@ def _finalize_ball(kk, dv):
     return jnp.where(valid, dv, 0.0), jnp.where(valid, kk, -1)
 
 
-def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius):
+# The Pallas path statically unrolls K insertion steps; past this K the
+# compile blows up and the XLA streaming path wins anyway (the reference's
+# default K=500 is a worst case that lands there).
+_PALLAS_MAX_K = 64
+
+
+def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius, impl="auto"):
     from .knn import _pairwise_dist
 
     N, P1, D = p1.shape
     P2 = p2.shape[1]
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and K <= _PALLAS_MAX_K
+            else "xla"
+        )
+    if impl == "pallas":
+        from ..kernels.ball_query_pallas import ball_query_forward_pallas
+
+        idx = ball_query_forward_pallas(p1, p2, lengths2, K, float(radius))
+        iv = jnp.arange(P1, dtype=jnp.int32)[None, :] < lengths1[:, None]
+        idx = jnp.where(iv[..., None], idx, -1)
+        # Recompute the K squared distances from the indices (same per-axis
+        # f32 arithmetic as the in-kernel radius check): O(P1*K) vs the
+        # kernel's O(P1*P2), so tracking them in-kernel isn't worth a
+        # payload side-car.
+        safe = jnp.clip(idx, 0, P2 - 1)
+        nn = jnp.take_along_axis(
+            p2[:, :, None, :], safe.reshape(N, -1, 1, 1), axis=1
+        ).reshape(N, P1, K, D)
+        dv = ((p1[:, :, None, :] - nn) ** 2).sum(-1)
+        return jnp.where(idx >= 0, dv, 0.0), idx
+
     r2 = jnp.float32(radius * radius)
     i_valid = (
         jnp.arange(P1, dtype=jnp.int32)[None, :] < lengths1[:, None]
@@ -110,17 +139,17 @@ def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius):
     return _finalize_ball(sk, sd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _ball_query_core(p1, p2, lengths1, lengths2, K, radius):
-    return _ball_query_forward(p1, p2, lengths1, lengths2, K, radius)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ball_query_core(p1, p2, lengths1, lengths2, K, radius, impl):
+    return _ball_query_forward(p1, p2, lengths1, lengths2, K, radius, impl)
 
 
-def _bq_fwd(p1, p2, lengths1, lengths2, K, radius):
-    dists, idx = _ball_query_core(p1, p2, lengths1, lengths2, K, radius)
+def _bq_fwd(p1, p2, lengths1, lengths2, K, radius, impl):
+    dists, idx = _ball_query_core(p1, p2, lengths1, lengths2, K, radius, impl)
     return (dists, idx), (p1, p2, lengths1, lengths2, idx)
 
 
-def _bq_bwd(K, radius, res, grads):
+def _bq_bwd(K, radius, impl, res, grads):
     p1, p2, lengths1, lengths2, idx = res
     grad_dists, _ = grads
     # Reference reuses the KNN backward with norm=2
@@ -142,6 +171,7 @@ def ball_query(
     K: int = 500,
     radius: float = 0.2,
     return_nn: bool = True,
+    impl: str = "auto",
 ) -> _KNN:
     """First K points of ``p2`` within ``radius`` of each ``p1`` point.
 
@@ -168,6 +198,8 @@ def ball_query(
     lengths1 = jnp.asarray(lengths1, jnp.int32)
     lengths2 = jnp.asarray(lengths2, jnp.int32)
 
-    dists, idx = _ball_query_core(p1, p2, lengths1, lengths2, K, float(radius))
+    dists, idx = _ball_query_core(
+        p1, p2, lengths1, lengths2, K, float(radius), impl
+    )
     nn = masked_gather(p2, idx) if return_nn else None
     return _KNN(dists=dists, idx=idx, knn=nn)
