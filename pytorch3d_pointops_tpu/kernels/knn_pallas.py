@@ -252,7 +252,14 @@ def _knn_kernel(
             wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=1)
             wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=1)
             dwv = dw_ref[...]
-            surv = (dwv < t_new) & (
+            # Admit VALUE TIES with the new kth (<=, not <): a shadowed
+            # same-group tie with a LOWER global index than an equal-valued
+            # phase-1 insert must still displace it (first-seen-wins).  The
+            # lexicographic insert rejects higher-index ties via pos == K,
+            # and extraction retires lowest-(value, lane) first, so K sweeps
+            # still suffice.  The dwv < inf guard keeps masked lanes out when
+            # t_new is still inf (state not yet full).
+            surv = (dwv <= t_new) & (dwv < _INF) & (
                 (dwv > wm_b) | ((dwv == wm_b) & (col_f > wml_b))
             )
             maxc2 = jnp.minimum(

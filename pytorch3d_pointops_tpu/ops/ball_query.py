@@ -36,7 +36,7 @@ _FULL_MATRIX_MAX_ELEMS = 32 * 1024 * 1024
 _TILE_P2 = 4096
 
 
-_BIG = jnp.int32(2**30)
+_BIG = 2**30  # plain int: no backend init at import time
 
 
 def _first_k_in_radius(d2, in_radius, j_offset, K):

@@ -35,7 +35,9 @@ Array = jnp.ndarray
 
 _KNN = namedtuple("KNN", "dists idx knn")
 
-_INF = jnp.float32(jnp.inf)
+# Plain float, not jnp.float32(...): creating a jnp scalar at import time
+# initializes the XLA backend, which breaks jax.distributed.initialize on pods.
+_INF = float("inf")
 
 # Above this many (N*P1*P2) distance-matrix elements the forward switches from
 # the single-shot matrix to the tiled streaming scan (memory bound ~128 MB f32).

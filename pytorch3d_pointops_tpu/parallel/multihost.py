@@ -33,9 +33,22 @@ def initialize(
 ) -> None:
     """Initialize the JAX distributed runtime (no-op if already initialized
     or running single-process).  On Cloud TPU pods the arguments are
-    auto-detected from the environment; pass them explicitly elsewhere."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    auto-detected from the environment; pass them explicitly elsewhere.
+
+    Ordering matters: querying ``jax.process_count()`` / ``jax.devices()``
+    initializes the backends, after which ``jax.distributed.initialize``
+    raises — so prior initialization is detected via
+    ``jax.distributed.is_initialized()``, which inspects the distributed
+    client WITHOUT touching any backend.  Errors are swallowed only for the
+    argument-free auto-detection call (a plain single-process run); explicit
+    coordinator arguments re-raise, since a silent single-process fallback
+    on a real cluster computes wrong results.
+    """
+    if jax.distributed.is_initialized():
+        return  # distributed runtime already initialized in this process
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -43,9 +56,11 @@ def initialize(
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # Single-process run (no coordinator configured): nothing to do —
-        # every collective in this framework degrades to a copy on a
-        # single-device mesh axis.
+        if explicit:
+            raise
+        # Single-process run (no coordinator configured, nothing
+        # auto-detected): nothing to do — every collective in this framework
+        # degrades to a copy on a single-device mesh axis.
         pass
 
 

@@ -39,7 +39,7 @@ from ..ops.knn import (
 )
 
 Array = jnp.ndarray
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain float: no backend init at import time
 
 
 def _local_knn(x, y, len2_local, K, norm):

@@ -128,6 +128,36 @@ def test_knn_pallas_duplicate_points_ties():
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
 
 
+def test_knn_pallas_shadowed_tie_at_kth_slot():
+    """Directed regression: a tie candidate shadowed in phase 1 by a smaller
+    same-fold-group value must still displace an equal-valued, HIGHER-index
+    phase-1 winner when the tie lands exactly on the kth slot.
+
+    Construction (GF=256 for tile_p2=2048): queries at the origin; lane 257
+    (group 1) holds the group minimum 0.25 which shadows lane 1 (group 1,
+    value 1.0); lane 258 (group 2) carries the same value 1.0; lane 259
+    carries 0.5625 so that with K=3 the kth slot after phase 1 is exactly
+    1.0@258 — the shadowed 1.0@1 must replace it (first-seen-wins)."""
+    P2 = 2048
+    x = np.full((P2,), 8.0, np.float32)  # background: squared dist 64
+    x[257] = 0.5  # group 1 minimum (0.25) — shadows lane 1
+    x[1] = 1.0  # the shadowed tie (1.0) with the LOWEST global index
+    x[258] = 1.0  # equal-valued winner in group 2 (higher index)
+    x[259] = 0.75  # 0.5625, fills the 2nd slot
+    p2 = np.zeros((1, P2, 3), np.float32)
+    p2[0, :, 0] = x
+    p1 = jnp.zeros((1, 8, 3), jnp.float32)
+    l1 = jnp.full((1,), 8, jnp.int32)
+    l2 = jnp.full((1,), P2, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, jnp.asarray(p2), l2, K=3, tile_p1=8, tile_p2=2048, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, jnp.asarray(p2), l1, l2, 3, 2)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(i_pal)[0, 0], [257, 259, 1])
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-6)
+
+
 def test_ball_query_pallas_matches_xla():
     from pytorch3d_pointops_tpu.kernels.ball_query_pallas import (
         ball_query_forward_pallas,
