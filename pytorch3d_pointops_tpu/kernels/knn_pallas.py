@@ -257,9 +257,10 @@ def _knn_kernel(
             # phase-1 insert must still displace it (first-seen-wins).  The
             # lexicographic insert rejects higher-index ties via pos == K,
             # and extraction retires lowest-(value, lane) first, so K sweeps
-            # still suffice.  The dwv < inf guard keeps masked lanes out when
-            # t_new is still inf (state not yet full).
-            surv = (dwv <= t_new) & (dwv < _INF) & (
+            # still suffice.  Clamping the threshold at 3e38 keeps inf
+            # (masked / non-admitted) lanes out when t_new is still inf
+            # (state not yet full) without an extra full-width temp.
+            surv = (dwv <= jnp.minimum(t_new, 3e38)) & (
                 (dwv > wm_b) | ((dwv == wm_b) & (col_f > wml_b))
             )
             maxc2 = jnp.minimum(

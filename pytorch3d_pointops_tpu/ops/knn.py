@@ -302,9 +302,14 @@ def knn_points(
             kernel-version knob (functions/knn.py:121); ignored here — XLA
             specializes per static shape instead.
         return_nn: also gather the neighbor coordinates via ``knn_gather``.
-        return_sorted: results are always produced in ascending-distance
-            order (a superset of the reference guarantee); flag kept for API
-            compatibility.
+        return_sorted: if True (default), results are in ascending-distance
+            order.  If False (and K > 1), results are returned in *kernel
+            order* like the reference (functions/knn.py:77-89 skips the
+            post-sort): for this framework's streaming kernels that is the
+            insertion (scan) order over p2 — ascending neighbor index — with
+            pad entries kept at the tail.  The reference's CUDA kernel order
+            is version-dependent and unspecified; any order is valid when
+            ``return_sorted=False``.
         impl: "auto" | "xla" | "pallas" — kernel selection; "auto" picks the
             Pallas TPU kernel on TPU backends, the XLA program elsewhere.
 
@@ -319,7 +324,7 @@ def knn_points(
         raise ValueError("pts1 and pts2 must have the same point dimension.")
     if not (norm == 1 or norm == 2):
         raise ValueError("Support for 1 or 2 norm.")
-    del version, return_sorted  # static-shape specialization; always sorted
+    del version  # static-shape specialization replaces kernel-version choice
 
     p1 = jnp.asarray(p1, jnp.float32)
     p2 = jnp.asarray(p2, jnp.float32)
@@ -333,6 +338,20 @@ def knn_points(
     lengths2 = jnp.asarray(lengths2, jnp.int32)
 
     dists, idx = _knn_points_core(p1, p2, lengths1, lengths2, K, norm, impl)
+
+    if not return_sorted and K > 1:
+        # Undo the ascending-distance order: reorder each row by neighbor
+        # index (the streaming kernels' insertion order), keeping pad
+        # entries (k >= lengths2) at the tail.
+        key = jnp.where(
+            jnp.arange(K, dtype=jnp.int32)[None, None, :]
+            < lengths2[:, None, None],
+            idx,
+            jnp.int32(2**30),
+        )
+        order = jnp.argsort(key, axis=2)
+        dists = jnp.take_along_axis(dists, order, axis=2)
+        idx = jnp.take_along_axis(idx, order, axis=2)
 
     nn = knn_gather(p2, idx, lengths2) if return_nn else None
     return _KNN(dists=dists, idx=idx, knn=nn)

@@ -7,6 +7,9 @@ conveniences: they take Python lists and concrete lengths and build device array
 On device (inside jit) everything computes on padded arrays + lengths; the
 jit-compatible packed<->padded device ops live in
 ``pytorch3d_pointops_tpu.ops.packed_padded``.
+
+Implementation note: the heavy lifting runs in numpy on the host (a single
+device upload at the end) — ragged Python lists never reach the device.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ import numpy as np
 Array = jnp.ndarray
 
 
-def _is_array(x) -> bool:
+def _arraylike(x) -> bool:
     return isinstance(x, (jnp.ndarray, np.ndarray)) or hasattr(x, "shape")
 
 
@@ -32,42 +35,46 @@ def list_to_padded(
     """Stack a list of N arrays of shape ``(Si_0, ..., Si_D)`` into a padded
     array of shape ``(N, pad_size[0], ..., pad_size[D])``.
 
-    If ``pad_size`` is None the max size along each dim is used.  Mirrors
-    reference ``structures/utils.py:19-79``.
+    With ``pad_size=None``, each output dim takes the max size over the list.
+    Semantics mirror reference ``structures/utils.py:19-79``.
     """
     if equisized:
         return jnp.stack([jnp.asarray(y) for y in x], axis=0)
 
-    if not all(_is_array(y) for y in x):
-        raise ValueError("All items have to be arrays.")
+    if not all(_arraylike(y) for y in x):
+        raise ValueError("list_to_padded: every list entry must be an array.")
 
-    x = [jnp.asarray(y) for y in x]
-    element_ndim = max(y.ndim for y in x)
-    # Replace empty 1D arrays with correctly-shaped empty arrays.
-    x = [
-        jnp.zeros([0] * element_ndim, dtype=y.dtype)
-        if (y.ndim == 1 and y.size == 0)
-        else y
-        for y in x
+    items = [np.asarray(y) for y in x]
+    rank = max(y.ndim for y in items)
+    # A zero-size 1D placeholder stands in for "empty element of any rank".
+    items = [
+        np.zeros((0,) * rank, dtype=y.dtype) if (y.ndim == 1 and y.size == 0) else y
+        for y in items
     ]
-    if any(y.ndim != x[0].ndim for y in x):
-        raise ValueError("All items have to have the same number of dimensions!")
+    if any(y.ndim != items[0].ndim for y in items):
+        raise ValueError(
+            "list_to_padded: list entries differ in rank; all non-empty "
+            "entries must have the same number of dimensions."
+        )
 
     if pad_size is None:
-        pad_dims = [
-            max(y.shape[dim] for y in x if len(y) > 0) for dim in range(x[0].ndim)
+        target = [
+            max(y.shape[dim] for y in items if y.size > 0)
+            for dim in range(items[0].ndim)
         ]
     else:
-        if any(len(pad_size) != y.ndim for y in x):
-            raise ValueError("Pad size must contain target size for all dimensions.")
-        pad_dims = list(pad_size)
+        if any(len(pad_size) != y.ndim for y in items):
+            raise ValueError(
+                "list_to_padded: pad_size must give a target size for every "
+                "dimension of the list entries."
+            )
+        target = list(pad_size)
 
-    N = len(x)
-    out = np.full((N, *pad_dims), pad_value, dtype=np.asarray(x[0]).dtype)
-    for i, y in enumerate(x):
-        if len(y) > 0:
-            slices = (i, *(slice(0, y.shape[dim]) for dim in range(y.ndim)))
-            out[slices] = np.asarray(y)
+    out = np.full((len(items), *target), pad_value, dtype=items[0].dtype)
+    for i, y in enumerate(items):
+        if y.size > 0:
+            region = (i, *(slice(0, s) for s in y.shape))
+            out[region] = y
     return jnp.asarray(out)
 
 
@@ -75,61 +82,58 @@ def padded_to_list(
     x: Array,
     split_size: Union[Sequence[int], Sequence[Sequence[int]], None] = None,
 ) -> List[Array]:
-    """Split a padded array ``(N, S_1, ..., S_D)`` into a list of N arrays,
-    each trimmed to ``split_size[i]`` along the leading (or all) dims.
-
-    Mirrors reference ``structures/utils.py:82-116``.
-    """
+    """Split a padded ``(N, S_1, ..., S_D)`` array back into a list of N
+    arrays, trimming entry ``i`` to ``split_size[i]`` (an int trims the
+    leading dim; a tuple trims every dim).  Mirrors reference
+    ``structures/utils.py:82-116``."""
     x = jnp.asarray(x)
-    x_list = [x[i] for i in range(x.shape[0])]
+    out = [x[i] for i in range(x.shape[0])]
 
     if split_size is None:
-        return x_list
+        return out
 
-    N = len(split_size)
-    if x.shape[0] != N:
-        raise ValueError("Split size must be of same length as inputs first dimension")
+    if x.shape[0] != len(split_size):
+        raise ValueError(
+            "padded_to_list: split_size needs one entry per batch element "
+            f"(got {len(split_size)} for batch {x.shape[0]})."
+        )
 
-    for i in range(N):
-        if isinstance(split_size[i], (int, np.integer)):
-            x_list[i] = x_list[i][: int(split_size[i])]
+    for i, s in enumerate(split_size):
+        if isinstance(s, (int, np.integer)):
+            out[i] = out[i][: int(s)]
         else:
-            slices = tuple(slice(0, int(s)) for s in split_size[i])
-            x_list[i] = x_list[i][slices]
-    return x_list
+            out[i] = out[i][tuple(slice(0, int(d)) for d in s)]
+    return out
 
 
 def list_to_packed(x: List[Array]):
     """Concatenate a list of N arrays of shape (Mi, ...) into (sum(Mi), ...).
 
-    Returns a 4-tuple ``(x_packed, num_items, item_packed_first_idx,
-    item_packed_to_list_idx)`` mirroring reference
-    ``structures/utils.py:119-154``.
+    Returns ``(packed, num_items, first_idx, to_list_idx)``: the packed
+    array, per-entry sizes (N,), the packed offset where each entry starts
+    (N,), and for every packed row the list index it came from (sum(Mi),).
+    Mirrors reference ``structures/utils.py:119-154``.
     """
     if not x:
-        raise ValueError("Input list is empty")
-    sizes = [int(xi.shape[0]) for xi in x]
-    num_items = jnp.asarray(sizes, dtype=jnp.int32)
-    first = np.zeros(len(sizes), dtype=np.int32)
-    first[1:] = np.cumsum(sizes[:-1])
-    item_packed_first_idx = jnp.asarray(first)
-    to_list = np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
-    item_packed_to_list_idx = jnp.asarray(to_list)
-    x_packed = jnp.concatenate([jnp.asarray(xi) for xi in x], axis=0)
-    return x_packed, num_items, item_packed_first_idx, item_packed_to_list_idx
+        raise ValueError("list_to_packed: received an empty list.")
+    sizes = np.asarray([int(xi.shape[0]) for xi in x], dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.int32)
+    owners = np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+    packed = jnp.concatenate([jnp.asarray(xi) for xi in x], axis=0)
+    return packed, jnp.asarray(sizes), jnp.asarray(starts), jnp.asarray(owners)
 
 
 def packed_to_list(x: Array, split_size: Union[list, int]):
-    """Split a packed array (sum(Mi), ...) into a list of arrays of shape
-    (Mi, ...).  Mirrors reference ``structures/utils.py:157-170``."""
+    """Slice a packed (sum(Mi), ...) array back into a list of (Mi, ...)
+    arrays.  An int ``split_size`` means equal chunks.  Mirrors reference
+    ``structures/utils.py:157-170``."""
     if isinstance(split_size, int):
-        n = x.shape[0] // split_size
-        split_size = [split_size] * n
+        split_size = [split_size] * (x.shape[0] // split_size)
     out = []
-    start = 0
+    offset = 0
     for s in split_size:
-        out.append(x[start : start + int(s)])
-        start += int(s)
+        out.append(x[offset : offset + int(s)])
+        offset += int(s)
     return out
 
 
@@ -138,37 +142,44 @@ def padded_to_packed(
     split_size: Union[list, tuple, None] = None,
     pad_value: Union[float, int, None] = None,
 ):
-    """Flatten a padded (N, M, K) array into a packed array.
+    """Flatten a padded (N, M, K) array into a packed (F, K) array.
 
-    Exactly one of split_size / pad_value may be given; with neither, returns
-    the full (N*M, K) flattening.  Mirrors reference
-    ``structures/utils.py:173-242``.
+    Exactly one of ``split_size`` / ``pad_value`` may be given: split_size
+    keeps the first ``split_size[i]`` rows of entry i; pad_value drops rows
+    equal to it everywhere.  With neither, returns the dense (N*M, K)
+    flattening.  Mirrors reference ``structures/utils.py:173-242``.
     """
     x = jnp.asarray(x)
     if x.ndim != 3:
-        raise ValueError("Supports only 3-dimensional input tensors")
+        raise ValueError("padded_to_packed: input must be a (N, M, K) array.")
     N, M, D = x.shape
 
     if split_size is not None and pad_value is not None:
-        raise ValueError("Only one of split_size or pad_value should be provided.")
+        raise ValueError(
+            "padded_to_packed: split_size and pad_value are mutually "
+            "exclusive; give at most one."
+        )
 
-    x_packed = x.reshape(-1, D)
+    flat = x.reshape(-1, D)
 
     if pad_value is None and split_size is None:
-        return x_packed
+        return flat
 
     if pad_value is not None:
-        mask = np.asarray((x_packed != pad_value).any(-1))
-        return x_packed[jnp.asarray(np.nonzero(mask)[0])]
+        keep = np.nonzero(np.asarray((flat != pad_value).any(-1)))[0]
+        return flat[jnp.asarray(keep)]
 
     if len(split_size) != N:
-        raise ValueError("Split size must be of same length as inputs first dimension")
-    if not all(isinstance(i, (int, np.integer)) for i in split_size):
         raise ValueError(
-            "Support only 1-dimensional unbinded tensor. "
-            "Split size for more dimensions provided"
+            "padded_to_packed: split_size needs one entry per batch element "
+            f"(got {len(split_size)} for batch {N})."
         )
-    idx = np.concatenate(
-        [np.arange(int(v), dtype=np.int64) + i * M for i, v in enumerate(split_size)]
+    if not all(isinstance(s, (int, np.integer)) for s in split_size):
+        raise ValueError(
+            "padded_to_packed: only scalar (leading-dim) split sizes are "
+            "supported."
+        )
+    rows = np.concatenate(
+        [np.arange(int(s), dtype=np.int64) + i * M for i, s in enumerate(split_size)]
     )
-    return x_packed[jnp.asarray(idx)]
+    return flat[jnp.asarray(rows)]

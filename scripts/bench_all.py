@@ -48,15 +48,29 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     quick = os.environ.get("BENCH_QUICK") == "1" or not on_tpu
 
-    # ---- config 1: 2-cloud batch (1000/800 pts, K=8) ----
+    # ---- dispatch round-trip floor ----
+    # Under the axon tunnel each dispatch+fetch pays ~28 ms of RTT; small
+    # configs are RTT-bound, so measure the floor and report it alongside
+    # (the driver's knn_small number is meaningless without it).
     k = jax.random.PRNGKey(0)
+    noop = jax.jit(lambda x: x + 1.0)
+    t_rtt = timeit(noop, jnp.zeros((8,), jnp.float32), iters=10)
+    results["dispatch_rtt_floor"] = {"ms": t_rtt * 1e3}
+
+    # ---- config 1: 2-cloud batch (1000/800 pts, K=8) ----
     p1 = jax.random.normal(jax.random.fold_in(k, 0), (2, 1000, 3))
     p2 = jax.random.normal(jax.random.fold_in(k, 1), (2, 1000, 3))
     l1 = jnp.asarray([1000, 800], jnp.int32)
     l2 = jnp.asarray([1000, 800], jnp.int32)
     f = jax.jit(lambda a, b: knn_points(a, b, l1, l2, K=8).dists)
     t = timeit(f, p1, p2)
-    results["knn_small"] = {"ms": t * 1e3, "queries_per_s": 1800 / t}
+    t_net = max(t - t_rtt, 1e-9)
+    results["knn_small"] = {
+        "ms": t * 1e3,
+        "ms_minus_rtt": t_net * 1e3,
+        "queries_per_s": 1800 / t,
+        "queries_per_s_minus_rtt": 1800 / t_net,
+    }
 
     # ---- config 2: PointNet++ grouping, batch=32 x 4k pts ----
     N, P = (8, 1024) if quick else (32, 4096)
@@ -110,15 +124,26 @@ def main():
         "pts": P,
     }
 
-    # ---- config 4: single-cloud KNN 1M x 1M, K=16 ----
+    # ---- config 4: single-cloud KNN 1M x 1M, K=16, forward AND fwd+bwd ----
+    # The backward is the deterministic XLA scatter-add over N*P1*K (16M at
+    # 1M scale) contributions (ops/knn.py knn_backward, the TPU equivalent
+    # of knn.cu:467-517's atomicAdd kernel).
     P = 100_000 if quick else 1_000_000
     p1 = jax.random.normal(jax.random.fold_in(k, 9), (1, P, 3))
     p2 = jax.random.normal(jax.random.fold_in(k, 10), (1, P, 3))
     f = jax.jit(lambda a, b: knn_points(a, b, K=16).dists)
     t = timeit(f, p1, p2, iters=1)
+    fb = jax.jit(
+        jax.value_and_grad(
+            lambda a, b: knn_points(a, b, K=16).dists.sum(), argnums=(0, 1)
+        )
+    )
+    t_fb = timeit(fb, p1, p2, iters=1)
     results["knn_1m" if not quick else "knn_100k"] = {
         "ms": t * 1e3,
         "queries_per_s": P / t,
+        "fwdbwd_ms": t_fb * 1e3,
+        "fwdbwd_queries_per_s": P / t_fb,
     }
 
     for name, r in results.items():

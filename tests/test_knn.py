@@ -154,3 +154,48 @@ def test_knn_validation_errors():
         knn_points(p1, jnp.zeros((2, 4, 2)))
     with pytest.raises(ValueError):
         knn_points(p1, p1, norm=3)
+
+
+def test_knn_return_sorted_false():
+    """return_sorted=False returns kernel (scan) order: ascending neighbor
+    index among the same K winners, pads at the tail (reference
+    functions/knn.py:77-89 skips the post-sort when K > 1)."""
+    key = jax.random.PRNGKey(17)
+    p1, p2, l1, l2 = _rand_clouds(key, 2, 12, 20, 3, True)
+    srt = knn_points(p1, p2, l1, l2, K=6)
+    uns = knn_points(p1, p2, l1, l2, K=6, return_sorted=False)
+    for n in range(2):
+        kv = min(6, int(l2[n]))
+        for i in range(int(l1[n])):
+            # same neighbor SET per query
+            assert set(np.asarray(srt.idx)[n, i, :kv].tolist()) == set(
+                np.asarray(uns.idx)[n, i, :kv].tolist()
+            )
+            # unsorted order = ascending neighbor index
+            vals = np.asarray(uns.idx)[n, i, :kv]
+            assert (np.diff(vals) > 0).all(), vals
+            # dists stay paired with their idx
+            d_expect = ((np.asarray(p1)[n, i, None] - np.asarray(p2)[n, vals]) ** 2).sum(-1)
+            np.testing.assert_allclose(
+                np.asarray(uns.dists)[n, i, :kv], d_expect, atol=1e-5
+            )
+        # pads remain at the tail
+        if kv < 6:
+            assert (np.asarray(uns.idx)[n, : int(l1[n]), kv:] == 0).all()
+            assert (np.asarray(uns.dists)[n, : int(l1[n]), kv:] == 0).all()
+
+
+def test_knn_return_sorted_false_grads_flow():
+    key = jax.random.PRNGKey(19)
+    p1, p2, l1, l2 = _rand_clouds(key, 1, 8, 14, 3, False)
+
+    def loss(a, srt):
+        out = knn_points(a, p2, K=3, return_sorted=srt)
+        return (out.dists * jnp.arange(3.0)[None, None, :]).sum()
+
+    g_sorted = jax.grad(lambda a: loss(a, True))(p1)
+    g_unsorted = jax.grad(lambda a: loss(a, False))(p1)
+    # different weighting order -> different grads, but both finite nonzero
+    assert np.isfinite(np.asarray(g_unsorted)).all()
+    assert np.abs(np.asarray(g_unsorted)).sum() > 0
+    assert np.isfinite(np.asarray(g_sorted)).all()

@@ -1,0 +1,111 @@
+"""COMPILED-mode Pallas kernel parity tests, gated on real TPU hardware.
+
+The main suite (tests/) forces CPU and runs the kernels in interpret mode
+only; interpret mode executes jnp semantics and cannot catch Mosaic
+compiler drift (this kernel family has a history of Mosaic-specific
+miscompiles — see CLAUDE.md on the fold-kernel SIGABRT).  This tier runs
+the same oracles against the *compiled* kernels on the attached chip.
+
+Run:  python -m pytest tests_tpu/ -x -q      (auto-skips off-TPU)
+
+Shapes are kept moderate (compile through the axon tunnel is 20-200 s per
+kernel shape) but tile sizes are PRODUCTION tiles, so the fold widths,
+watermark rounds, and insert paths exercised are the ones that ship.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+if jax.default_backend() != "tpu":  # pragma: no cover
+    pytest.skip(
+        "compiled-kernel parity tier requires a TPU backend",
+        allow_module_level=True,
+    )
+
+from pytorch3d_pointops_tpu.kernels.ball_query_pallas import (  # noqa: E402
+    ball_query_forward_pallas,
+)
+from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas  # noqa: E402
+from pytorch3d_pointops_tpu.kernels.knn_pallas import (  # noqa: E402
+    knn_forward_pallas,
+)
+from pytorch3d_pointops_tpu.ops.ball_query import _ball_query_forward  # noqa: E402
+from pytorch3d_pointops_tpu.ops.fps import _fps_single  # noqa: E402
+from pytorch3d_pointops_tpu.ops.knn import _knn_forward_full  # noqa: E402
+
+
+def _clouds(seed, N, P1, P2, D=3):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    p1 = jax.random.normal(k1, (N, P1, D), jnp.float32)
+    p2 = jax.random.normal(k2, (N, P2, D), jnp.float32)
+    return p1, p2
+
+
+def test_knn_compiled_production_tiles():
+    """Random clouds at the production tiling; exact idx + 1e-5 dists."""
+    p1, p2 = _clouds(0, 1, 4096, 8192)
+    l1 = jnp.asarray([4096], jnp.int32)
+    l2 = jnp.asarray([8192 - 37], jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(p1, p2, l2, K=16)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 16, 2)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_compiled_duplicate_ties():
+    """Exact duplicates stress tie ordering through the compiled fold +
+    watermark + phase-2 paths (first-seen-wins must hold bit-exactly)."""
+    base = jax.random.normal(jax.random.PRNGKey(5), (1, 1024, 3), jnp.float32)
+    p2 = jnp.concatenate([base] * 4, axis=1)  # every point x4 -> 4096
+    p1 = base[:, :256]
+    l1 = jnp.full((1,), 256, jnp.int32)
+    l2 = jnp.full((1,), 4096, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(p1, p2, l2, K=16)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 16, 2)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-6)
+
+
+def test_knn_compiled_shadowed_tie_at_kth_slot():
+    """The directed phase-2 tie case (see tests/test_kernels.py twin),
+    compiled: a shadowed same-group tie must displace the equal-valued
+    higher-index winner at the kth slot."""
+    P2 = 2048
+    x = np.full((P2,), 8.0, np.float32)
+    x[257] = 0.5
+    x[1] = 1.0
+    x[258] = 1.0
+    x[259] = 0.75
+    p2 = np.zeros((1, P2, 3), np.float32)
+    p2[0, :, 0] = x
+    p1 = jnp.zeros((1, 8, 3), jnp.float32)
+    l2 = jnp.full((1,), P2, jnp.int32)
+    _, i_pal = knn_forward_pallas(jnp.asarray(p1), jnp.asarray(p2), l2, K=3)
+    np.testing.assert_array_equal(np.asarray(i_pal)[0, 0], [257, 259, 1])
+
+
+def test_ball_query_compiled():
+    p1, p2 = _clouds(2, 2, 512, 4096)
+    l1 = jnp.asarray([512, 480], jnp.int32)
+    l2 = jnp.asarray([4096, 3000], jnp.int32)
+    idx_pal = ball_query_forward_pallas(p1, p2, l2, K=32, radius=0.5)
+    iv = jnp.arange(512, dtype=jnp.int32)[None, :] < l1[:, None]
+    idx_pal = jnp.where(iv[..., None], idx_pal, -1)
+    _, i_ref = _ball_query_forward(p1, p2, l1, l2, 32, 0.5, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
+
+
+def test_fps_compiled():
+    pts = jax.random.normal(jax.random.PRNGKey(3), (2, 2048, 3), jnp.float32)
+    lengths = jnp.asarray([2048, 1500], jnp.int32)
+    K = jnp.asarray([128, 128], jnp.int32)
+    starts = jnp.zeros((2,), jnp.int32)
+    idx_pal = fps_pallas(jnp.swapaxes(pts, 1, 2), lengths, K, starts, 128)
+    idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 128))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_xla))
