@@ -2,6 +2,10 @@
 the TPU-native analog of the reference's examples/fps_on_pointclouds.py and
 examples/ball_query_on_pointclouds.py (BASELINE.json config 2 workload)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np

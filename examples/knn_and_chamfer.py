@@ -3,6 +3,10 @@ examples/knn_on_pointclouds.py and examples/chamfer_loss.py: neighbor
 queries with ragged lengths, normal interpolation via knn_gather, and a
 chamfer-with-features optimization loop."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 

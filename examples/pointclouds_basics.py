@@ -2,6 +2,10 @@
 examples/pointclouds.py: construction from ragged lists, the three views,
 indexing, update_padded, and feature handling."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 

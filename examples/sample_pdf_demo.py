@@ -3,6 +3,10 @@ examples/sample_pdf_on_pointclouds.py: density-proportional resampling of a
 point cloud along an axis, plus the native-vs-python implementation
 cross-check."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,6 +13,13 @@ matrix ``where(dist2 < r2, column, +inf)`` — with two big simplifications:
   later tile fails the screen — the kernel's analog of the CUDA scan's
   ``count < K`` early exit.
 
+Large K (the reference's default is K=500, functions/ball_query.py:60-61)
+is handled by **round chaining**: the kernel tracks at most ``_ROUND_K``
+keys per pass, and each subsequent round re-runs the same compiled kernel
+with a per-query *exclusive lower bound* — the last key found so far — so
+round r returns in-radius columns (r*_ROUND_K, (r+1)*_ROUND_K] in scan
+order.  ceil(K/_ROUND_K) passes over p2; one kernel compilation total.
+
 Distances are NOT tracked in-kernel: the caller recomputes the K squared
 distances from the returned indices (same per-axis f32 arithmetic, so
 bit-identical), which is O(P1*K) against the kernel's O(P1*P2).
@@ -36,11 +43,16 @@ Array = jnp.ndarray
 
 _INF = float("inf")
 
+# Per-round top-K capacity: beyond this the statically-unrolled extraction
+# sweeps stop paying for themselves; larger user K chains rounds instead.
+_ROUND_K = 64
+
 
 def _bq_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1_ref,  # VMEM (1, TILE_P1, D)
     p2_ref,  # VMEM (1, D, TILE_P2) — transposed
+    lb_ref,  # VMEM (1, TILE_P1, 1) — exclusive per-query key lower bound
     out_k_ref,  # VMEM (1, TILE_P1, K) — running smallest keys (f32 cols)
     kw_ref,  # VMEM scratch (TILE_P1, TILE_P2) — screened keys
     af_ref,  # VMEM scratch (TILE_P1, GF) — folded per-group min keys
@@ -68,8 +80,12 @@ def _bq_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     gcol = j * tile_p2 + col
+    gcol_f = gcol.astype(jnp.float32)
     len2 = lengths2_ref[pl.program_id(0)]
-    key = jnp.where((d < r2) & (gcol < len2), gcol.astype(jnp.float32), _INF)
+    lb = lb_ref[0]  # (T1, 1): keys <= lb were found in prior rounds
+    key = jnp.where(
+        (d < r2) & (gcol < len2) & (gcol_f > lb), gcol_f, _INF
+    )
 
     state = out_k_ref[0]  # (T1, K) ascending keys
     thresh = state[:, K - 1][:, None]
@@ -147,6 +163,58 @@ def _bq_kernel(
                             )
 
 
+def _bq_round(p1, p2_t, lengths2, lb, Kc, r2, tile_p1, tile_p2, interpret):
+    """One chained round: the Kc smallest in-radius keys strictly above the
+    per-query lower bound ``lb`` (N, P1pad).  Returns f32 keys, inf pads."""
+    N, P1pad, D = p1.shape
+    P2pad = p2_t.shape[2]
+    kernel = functools.partial(_bq_kernel, K=Kc, r2=r2, tile_p2=tile_p2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, P1pad // tile_p1, P2pad // tile_p2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, D), lambda n, i, j, _l: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, D, tile_p2), lambda n, i, j, _l: (n, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_p1, 1), lambda n, i, j, _l: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_p1, Kc), lambda n, i, j, _l: (n, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
+        ],
+    )
+    (keys,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((N, P1pad, Kc), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * P1pad * P2pad * D,
+            bytes_accessed=4 * N * (P1pad * D + P2pad * D + P1pad * Kc),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths2.astype(jnp.int32), p1, p2_t, lb[..., None])
+    return keys
+
+
 @functools.partial(
     jax.jit, static_argnames=("K", "radius", "tile_p1", "tile_p2", "interpret")
 )
@@ -162,7 +230,8 @@ def ball_query_forward_pallas(
 ) -> Array:
     """Streaming ball query on TPU: returns (N, P1, K) int32 indices of the
     first K in-radius points per query, -1-padded, ascending (scan order).
-    lengths1 row masking and distance computation happen in the caller."""
+    K > _ROUND_K chains rounds of the same compiled kernel (see module
+    docstring).  lengths1 row masking and distances happen in the caller."""
     N, P1, D = p1.shape
     P2 = p2.shape[1]
     tile_p1 = min(tile_p1, max(8, P1))
@@ -174,49 +243,21 @@ def ball_query_forward_pallas(
     if P2pad != P2:
         p2 = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0)))
     p2_t = jnp.swapaxes(p2, 1, 2)
+    r2 = float(radius) * float(radius)
 
-    kernel = functools.partial(
-        _bq_kernel, K=K, r2=float(radius) * float(radius), tile_p2=tile_p2
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N, P1pad // tile_p1, P2pad // tile_p2),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tile_p1, D), lambda n, i, j, _l: (n, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, D, tile_p2), lambda n, i, j, _l: (n, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tile_p1, K), lambda n, i, j, _l: (n, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_p1, tile_p2), jnp.float32),
-            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
-            pltpu.VMEM((tile_p1, _fold_width(tile_p2)), jnp.float32),
-        ],
-    )
-    (keys,) = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((N, P1pad, K), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * N * P1pad * P2pad * D,
-            bytes_accessed=4 * N * (P1pad * D + P2pad * D + P1pad * K),
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(lengths2.astype(jnp.int32), p1, p2_t)
+    rounds = -(-K // _ROUND_K)
+    Kc = K if rounds == 1 else _ROUND_K
+    lb = jnp.full((N, P1pad), -1.0, jnp.float32)
+    outs = []
+    for _r in range(rounds):
+        keys = _bq_round(
+            p1, p2_t, lengths2, lb, Kc, r2, tile_p1, tile_p2, interpret
+        )
+        outs.append(keys)
+        # Next round admits only keys strictly above the largest found; an
+        # exhausted query carries lb=inf so later rounds admit nothing.
+        lb = keys[:, :, -1]
+    keys = outs[0] if rounds == 1 else jnp.concatenate(outs, axis=2)[:, :, :K]
 
     keys = keys[:, :P1]
     return jnp.where(keys < _INF, keys.astype(jnp.int32), -1)

@@ -61,23 +61,17 @@ def _finalize_ball(kk, dv):
     return jnp.where(valid, dv, 0.0), jnp.where(valid, kk, -1)
 
 
-# The Pallas path statically unrolls K insertion steps; past this K the
-# compile blows up and the XLA streaming path wins anyway (the reference's
-# default K=500 is a worst case that lands there).
-_PALLAS_MAX_K = 64
-
-
 def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius, impl="auto"):
     from .knn import _pairwise_dist
 
     N, P1, D = p1.shape
     P2 = p2.shape[1]
     if impl == "auto":
-        impl = (
-            "pallas"
-            if jax.default_backend() == "tpu" and K <= _PALLAS_MAX_K
-            else "xla"
-        )
+        # The Pallas kernel handles any K: it statically unrolls at most 64
+        # insertion steps per round and chains rounds with a per-query key
+        # lower bound for larger K (the reference's default K=500 -> 8
+        # passes over p2, one compilation).
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from ..kernels.ball_query_pallas import ball_query_forward_pallas
 

@@ -80,21 +80,32 @@ def _fps_single(points: Array, length: Array, k: Array, start_idx: Array, max_K:
 
 
 def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
-    """Dispatch between the Pallas TPU kernel and the XLA fori_loop path."""
-    P = points.shape[1]
+    """Dispatch between the Pallas TPU kernels and the XLA fori_loop path.
+
+    On TPU: batches of clouds go to the batched kernel (every cloud advances
+    through each selection round together — FPS rounds are tiny, so
+    amortizing per-op dispatch across the batch dominates); single/few huge
+    clouds go to the per-cloud sublane-dense kernel (VMEM-resident up to
+    ~4M points); anything larger falls back to the XLA fori_loop.
+    """
+    N, P = points.shape[0], points.shape[1]
     if impl == "auto":
         impl = "xla"
         if jax.default_backend() == "tpu":
-            from ..kernels.fps_pallas import MAX_VMEM_POINTS
+            from ..kernels.fps_pallas import MAX_BATCHED_ELEMS, MAX_VMEM_POINTS
 
-            if P <= MAX_VMEM_POINTS:
+            if N >= 4 and N * P <= MAX_BATCHED_ELEMS:
+                impl = "pallas_batched"
+            elif P <= MAX_VMEM_POINTS:
                 impl = "pallas"
+    if impl == "pallas_batched":
+        from ..kernels.fps_pallas import fps_pallas_batched
+
+        return fps_pallas_batched(points, lengths, K_dev, start_idxs, max_K)
     if impl == "pallas":
         from ..kernels.fps_pallas import fps_pallas
 
-        return fps_pallas(
-            jnp.swapaxes(points, 1, 2), lengths, K_dev, start_idxs, max_K
-        )
+        return fps_pallas(points, lengths, K_dev, start_idxs, max_K)
     return jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, max_K))(
         points, lengths, K_dev, start_idxs
     )

@@ -218,7 +218,9 @@ def ring_knn_points(
     """KNN with p1 sharded over ``point_axis`` and p2 rotated around the ring.
 
     Semantics identical to ``ops.knn.knn_points`` (global indices, reference
-    padding conventions); requires P1 and P2 divisible by the ring size.
+    padding conventions).  P1/P2 that don't divide the ring size are padded
+    internally (the pad rows/columns are excluded via the lengths masks and
+    trimmed from the outputs), so any shape runs unmodified.
     Differentiable w.r.t. p1 and p2 via the backward ring pass.
     """
     if p1.shape[0] != p2.shape[0]:
@@ -228,11 +230,6 @@ def ring_knn_points(
     if not (norm == 1 or norm == 2):
         raise ValueError("Support for 1 or 2 norm.")
     n_ring = mesh.shape[point_axis]
-    if p1.shape[1] % n_ring or p2.shape[1] % n_ring:
-        raise ValueError(
-            f"P1={p1.shape[1]} and P2={p2.shape[1]} must be divisible by the "
-            f"ring size {n_ring}."
-        )
 
     p1 = jnp.asarray(p1, jnp.float32)
     p2 = jnp.asarray(p2, jnp.float32)
@@ -245,8 +242,17 @@ def ring_knn_points(
     lengths1 = jnp.asarray(lengths1, jnp.int32)
     lengths2 = jnp.asarray(lengths2, jnp.int32)
 
+    # Auto-pad to ring-size multiples: pad queries are zeroed by the
+    # lengths1 row mask and trimmed below; pad candidates sit past every
+    # lengths2 so the in-ring masking never admits them.
+    P1pad = -(-P1 // n_ring) * n_ring
+    P2pad = -(-P2 // n_ring) * n_ring
+    p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0))) if P1pad != P1 else p1
+    p2p = jnp.pad(p2, ((0, 0), (0, P2pad - P2), (0, 0))) if P2pad != P2 else p2
+
     ring = _make_ring_knn(mesh, point_axis, batch_axis, K, norm)
-    dists, idx = ring(p1, p2, lengths1, lengths2)
+    dists, idx = ring(p1p, p2p, lengths1, lengths2)
+    dists, idx = dists[:, :P1], idx[:, :P1]
     nn = knn_gather(p2, idx, lengths2) if return_nn else None
     return _KNN(dists=dists, idx=idx, knn=nn)
 
@@ -412,6 +418,9 @@ def ring_chamfer_distance(
     Returns ``loss`` alone when no features are requested (backward
     compatible), else ``(loss, loss_features)``.
     """
+    from ..ops.chamfer import _validate_chamfer_reduction_inputs
+
+    _validate_chamfer_reduction_inputs(batch_reduction, point_reduction)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     N, P1, _ = x.shape

@@ -88,12 +88,27 @@ def main():
         print(json.dumps({"mesh": f"dp{dp}xsp{sp}", "step_ms": round(t * 1e3, 2)}))
 
     keys = list(results)
+    record = {
+        "backend": jax.default_backend(),
+        "n_devices": n,
+        "virtual": virtual,
+        "batch": N,
+        "points": Ppts,
+        "step_ms": {k: round(v, 2) for k, v in results.items()},
+    }
     if len(keys) == 2:
         # Same total devices, deeper point sharding: efficiency = t1/t2 per
         # the BASELINE's 1-host->N-host framing (equal global work).
         eff = results[keys[0]] / results[keys[1]]
+        record["sp_scaling_ratio"] = round(eff, 3)
         print(json.dumps({"metric": "sp_scaling_ratio", "value": round(eff, 3),
                           "note": "(>1 means sp sharding helps at this size)"}))
+
+    # Persist the config-5 artifact at the repo root.
+    out = os.path.join(os.path.dirname(__file__), "..", "MULTIHOST_BENCH.json")
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=2)
+    print(f"wrote {os.path.abspath(out)}")
 
 
 if __name__ == "__main__":

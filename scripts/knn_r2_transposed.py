@@ -57,6 +57,7 @@ def _kernel(
     rec: str,    # "onehot" | "dualfold" — fold index recovery scheme
     p2b: str,    # "concat" | "reshape" — phase-2 watermark broadcast
     gate: str,   # "cnt" | "done"      — sweep-count gating
+    sweeps: str, # "gated" | "uncond"  — branchy maxc-gated vs branch-free K
     stop: str,   # ablation: "dist"|"screen"|"fold"|"sweeps"|"" (full)
 ):
     j = pl.program_id(2)
@@ -183,7 +184,7 @@ def _kernel(
                 ai_ref[...] = lane_val
             else:
                 ai_ref[...] = row_f
-        if p2s == "wm":
+        if p2s in ("wm", "lite"):
             wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
             wml_ref[...] = jnp.full(wml_ref.shape, -1.0, jnp.float32)
         else:
@@ -195,52 +196,138 @@ def _kernel(
 
         if stop == "fold":
             return
-        if gate == "done":
-            done_ref[0] = 0
-        bw = T1 // blocks
-        for b in range(blocks):
-            ls, le = b * bw, (b + 1) * bw
-            if gate == "cnt":
-                maxc = (
-                    maxc_all
-                    if blocks == 1
-                    else jnp.minimum(jnp.max(cnt[ls:le]), K)
+        if sweeps == "fori":
+            # Single hardware loop with a dynamic trip count instead of K
+            # unrolled pl.when regions: the sweep body is k-independent, and
+            # each untaken pl.when still costs scalar-core branch work.
+            def sweep_body(_k, carry):
+                av = af_ref[...]
+                mval = jnp.min(av, axis=0)
+                sub_f = jnp.min(
+                    jnp.where(av == mval[None, :], ai_ref[...], 3e38), axis=0
                 )
-            for k in range(K):
+                sub_sel = sub_f.astype(jnp.int32)
+                insert(mval, j * tile_p2 + sub_sel, 0, T1)
+                g_sel = sub_sel - (sub_sel // GF) * GF
+                upd = (row_gf == g_sel[None, :]) & (mval[None, :] < _INF)
+                af_ref[...] = jnp.where(upd, _INF, av)
+                if p2s in ("wm", "lite"):
+                    wm_ref[...] = jnp.where(upd, mval[None, :], wm_ref[...])
+                    wml_ref[...] = jnp.where(upd, sub_f[None, :], wml_ref[...])
+                return carry
 
-                @pl.when((k < maxc) if gate == "cnt" else (done_ref[0] == 0))
-                def _(k=k, ls=ls, le=le):
-                    av = af_ref[:, ls:le]
-                    mval = jnp.min(av, axis=0)              # (bw,)
-                    if gate == "done":
-                        done_ref[0] = jnp.where(
-                            jnp.min(mval) < _INF, 0, 1
-                        )
-                    sub_f = jnp.min(
-                        jnp.where(av == mval[None, :], ai_ref[:, ls:le], 3e38),
-                        axis=0,
+            jax.lax.fori_loop(0, maxc_all, sweep_body, 0)
+        elif sweeps == "uncond":
+            # Branch-free extraction: always K sweeps (empty lanes extract
+            # inf), collect the (value, idx) candidates — produced in
+            # nondecreasing lex order — then ONE rank-based merge of the two
+            # sorted (K, T1) lists.  No scalar branches inside the loop, so
+            # Mosaic can software-pipeline across sweeps; the (K, K, T1)
+            # rank compares are lane-dense in this transposed layout.
+            cd_list = []
+            ci_list = []
+            for k in range(K):
+                av = af_ref[...]
+                mval = jnp.min(av, axis=0)
+                sub_f = jnp.min(
+                    jnp.where(av == mval[None, :], ai_ref[...], 3e38), axis=0
+                )
+                sub_sel = sub_f.astype(jnp.int32)
+                cd_list.append(mval)
+                ci_list.append(
+                    jnp.where(mval < _INF, j * tile_p2 + sub_sel, 2**30)
+                )
+                g_sel = sub_sel - (sub_sel // GF) * GF
+                upd = (row_gf == g_sel[None, :]) & (mval[None, :] < _INF)
+                af_ref[...] = jnp.where(upd, _INF, av)
+                if p2s in ("wm", "lite"):
+                    wm_ref[...] = jnp.where(upd, mval[None, :], wm_ref[...])
+                    wml_ref[...] = jnp.where(upd, sub_f[None, :], wml_ref[...])
+            cand_d = jnp.stack(cd_list, axis=0)   # (K, T1) lex nondecreasing
+            cand_i = jnp.stack(ci_list, axis=0)
+            state = out_d_ref[0]
+            sti = out_i_ref[0]
+            # c_lt_s[c, s, lane] = lex(cand_c) < lex(state_s)
+            c_lt_s = (cand_d[:, None, :] < state[None, :, :]) | (
+                (cand_d[:, None, :] == state[None, :, :])
+                & (cand_i[:, None, :] < sti[None, :, :])
+            )
+            nles = jnp.sum(c_lt_s.astype(jnp.int32), axis=0)   # (K_s, T1)
+            rank_s = krow + nles
+            rank_c = (
+                jax.lax.broadcasted_iota(jnp.int32, (K, T1), 0)
+                + K
+                - jnp.sum(c_lt_s.astype(jnp.int32), axis=1)    # (K_c, T1)
+            )
+            oh_s = rank_s[None] == krow[:, None, :]
+            oh_c = rank_c[None] == krow[:, None, :]
+            # where-select, NOT multiply: inf pads in state/cand would turn
+            # 0 * inf into NaN and poison the sums.
+            out_d_ref[0] = jnp.sum(
+                jnp.where(oh_s, state[None], 0.0), axis=1
+            ) + jnp.sum(jnp.where(oh_c, cand_d[None], 0.0), axis=1)
+            out_i_ref[0] = jnp.sum(
+                jnp.where(oh_s, sti[None], 0), axis=1
+            ) + jnp.sum(jnp.where(oh_c, cand_i[None], 0), axis=1)
+        else:
+            if gate == "done":
+                done_ref[0] = 0
+            bw = T1 // blocks
+            for b in range(blocks):
+                ls, le = b * bw, (b + 1) * bw
+                if gate == "cnt":
+                    maxc = (
+                        maxc_all
+                        if blocks == 1
+                        else jnp.minimum(jnp.max(cnt[ls:le]), K)
                     )
-                    sub_sel = sub_f.astype(jnp.int32)
-                    insert(mval, j * tile_p2 + sub_sel, ls, le)
-                    g_sel = sub_sel - (sub_sel // GF) * GF
-                    upd = (row_gf[:, ls:le] == g_sel[None, :]) & (
-                        mval[None, :] < _INF
-                    )
-                    af_ref[:, ls:le] = jnp.where(upd, _INF, av)
-                    if p2s == "wm":
-                        wm_ref[:, ls:le] = jnp.where(
-                            upd, mval[None, :], wm_ref[:, ls:le]
+                for k in range(K):
+
+                    @pl.when((k < maxc) if gate == "cnt" else (done_ref[0] == 0))
+                    def _(k=k, ls=ls, le=le):
+                        av = af_ref[:, ls:le]
+                        mval = jnp.min(av, axis=0)              # (bw,)
+                        if gate == "done":
+                            done_ref[0] = jnp.where(
+                                jnp.min(mval) < _INF, 0, 1
+                            )
+                        sub_f = jnp.min(
+                            jnp.where(av == mval[None, :], ai_ref[:, ls:le], 3e38),
+                            axis=0,
                         )
-                        wml_ref[:, ls:le] = jnp.where(
-                            upd, sub_f[None, :], wml_ref[:, ls:le]
+                        sub_sel = sub_f.astype(jnp.int32)
+                        insert(mval, j * tile_p2 + sub_sel, ls, le)
+                        g_sel = sub_sel - (sub_sel // GF) * GF
+                        upd = (row_gf[:, ls:le] == g_sel[None, :]) & (
+                            mval[None, :] < _INF
                         )
+                        af_ref[:, ls:le] = jnp.where(upd, _INF, av)
+                        if p2s in ("wm", "lite"):
+                            wm_ref[:, ls:le] = jnp.where(
+                                upd, mval[None, :], wm_ref[:, ls:le]
+                            )
+                            wml_ref[:, ls:le] = jnp.where(
+                                upd, sub_f[None, :], wml_ref[:, ls:le]
+                            )
 
         if stop == "sweeps":
             return
         if n_folds > 0:
             t_new = out_d_ref[0][K - 1][None, :]
             dwv = dw_ref[...]
-            if p2s == "wm" and p2b == "reshape":
+            if p2s == "lite":
+                # Exact 7-pass screen: a tie candidate with a LOWER row than
+                # the group watermark cannot exist (extraction retires
+                # lowest-(value,row) first), so "lex > (wm, wml)" collapses
+                # to "dwv >= wm and row != wml".
+                wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=0)
+                wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=0)
+                surv = (
+                    (dwv <= jnp.minimum(t_new, 3e38))
+                    & (dwv >= wm_b)
+                    & (row_f != wml_b)
+                )
+            elif p2s == "wm" and p2b == "reshape":
                 dv3 = dwv.reshape(reps, GF, T1)
                 row3 = row_f.reshape(reps, GF, T1)
                 wm3 = wm_ref[...][None]
@@ -273,31 +360,43 @@ def _kernel(
             @pl.when(maxc2 > 0)
             def _():
                 dw_ref[...] = jnp.where(surv, dwv, _INF)
-                for k in range(K):
-
-                    @pl.when(k < maxc2)
-                    def _(k=k):
+                if sweeps == "fori":
+                    def p2_body(_k, carry):
                         dw = dw_ref[...]
                         m = jnp.min(dw, axis=0)
                         am = jnp.argmin(dw, axis=0).astype(jnp.int32)
                         insert(m, j * tile_p2 + am, 0, T1)
+                        dw_ref[...] = jnp.where(row == am[None, :], _INF, dw)
+                        return carry
 
-                        @pl.when(k + 1 < maxc2)
-                        def _():
-                            dw_ref[...] = jnp.where(
-                                row == am[None, :], _INF, dw
-                            )
+                    jax.lax.fori_loop(0, maxc2, p2_body, 0)
+                else:
+                    for k in range(K):
+
+                        @pl.when(k < maxc2)
+                        def _(k=k):
+                            dw = dw_ref[...]
+                            m = jnp.min(dw, axis=0)
+                            am = jnp.argmin(dw, axis=0).astype(jnp.int32)
+                            insert(m, j * tile_p2 + am, 0, T1)
+
+                            @pl.when(k + 1 < maxc2)
+                            def _():
+                                dw_ref[...] = jnp.where(
+                                    row == am[None, :], _INF, dw
+                                )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("K", "tile_p1", "tile_p2", "gf", "dist", "blocks",
-                     "p2s", "rec", "p2b", "gate", "stop", "interpret"),
+                     "p2s", "rec", "p2b", "gate", "sweeps", "stop",
+                     "interpret"),
 )
 def knn_transposed(
     p1, p2, lengths2, K, tile_p1=256, tile_p2=2048, gf=256, dist="ycols",
-    blocks=1, p2s="wm", rec="onehot", p2b="concat", gate="cnt", stop="",
-    interpret=False,
+    blocks=1, p2s="wm", rec="onehot", p2b="concat", gate="cnt",
+    sweeps="gated", stop="", interpret=False,
 ):
     N, P1, D = p1.shape
     P2 = p2.shape[1]
@@ -313,7 +412,7 @@ def knn_transposed(
     grid = (N, P1pad // tile_p1, P2pad // tile_p2)
     kernel = functools.partial(
         _kernel, K=K, tile_p2=tile_p2, gf=gf, dist=dist, blocks=blocks,
-        p2s=p2s, rec=rec, p2b=p2b, gate=gate, stop=stop,
+        p2s=p2s, rec=rec, p2b=p2b, gate=gate, sweeps=sweeps, stop=stop,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -406,11 +505,10 @@ if __name__ == "__main__":
     base = dict(tile_p1=256, tile_p2=2048, gf=64, dist="ycols", blocks=1,
                 p2s="wm")
     cfgs = [
-        dict(base, stop="dist"),
-        dict(base, stop="screen"),
-        dict(base, stop="fold"),
-        dict(base, stop="sweeps"),
-        dict(base),
+        dict(base, tile_p1=128),
+        dict(base, tile_p2=1024),
+        dict(base, tile_p1=128, tile_p2=1024, gf=32),
+        dict(base, tile_p1=512),
     ]
     vm_cfgs = []
     for cfg in cfgs:

@@ -13,7 +13,8 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 @pytest.mark.parametrize(
     "name",
     ["pointclouds_basics", "knn_and_chamfer", "sample_pdf_demo",
-     "fps_and_ball_query"],
+     "fps_and_ball_query", "covariances_demo", "packed_padded_walkthrough",
+     "performance"],
 )
 def test_example_runs(name):
     path = os.path.join(EXAMPLES, f"{name}.py")

