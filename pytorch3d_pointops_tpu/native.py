@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import logging
 import os
 import subprocess
 import tempfile
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("pytorch3d_pointops_tpu.native")
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "pointops_cpu.cpp")
 _LIB: Optional[ctypes.CDLL] = None
@@ -48,7 +51,9 @@ def _build() -> str:
     os.makedirs(cache_dir, exist_ok=True)
     lib_path = os.path.join(cache_dir, f"libpointops_cpu_{tag}.so")
     if os.path.exists(lib_path):
+        logger.debug("native pointops: using cached build %s", lib_path)
         return lib_path
+    logger.info("native pointops: compiling %s (one-time, cached)", _SRC)
     tmp = lib_path + f".tmp{os.getpid()}"
     cmd = [
         os.environ.get("CXX", "g++"),
@@ -79,6 +84,10 @@ def load() -> ctypes.CDLL:
         lib = ctypes.CDLL(_build())
     except (OSError, subprocess.SubprocessError, FileNotFoundError) as e:
         _LOAD_ERROR = e
+        logger.warning(
+            "native pointops unavailable (falling back to pure-JAX paths): %s",
+            e,
+        )
         raise ImportError(f"native pointops unavailable: {e}") from e
 
     lib.pointops_knn.argtypes = [

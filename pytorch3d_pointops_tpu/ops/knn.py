@@ -23,6 +23,7 @@ are *squared* L2 distances (or L1 sums), sorted ascending; entries where
 
 from __future__ import annotations
 
+import logging
 from collections import namedtuple
 from functools import partial
 from typing import Optional, Union
@@ -34,6 +35,8 @@ from jax import lax
 Array = jnp.ndarray
 
 _KNN = namedtuple("KNN", "dists idx knn")
+
+logger = logging.getLogger("pytorch3d_pointops_tpu.knn")
 
 # Plain float, not jnp.float32(...): creating a jnp scalar at import time
 # initializes the XLA backend, which breaks jax.distributed.initialize on pods.
@@ -235,7 +238,12 @@ def _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl):
         try:
             from ..kernels.knn_pallas import knn_forward_pallas
         except ImportError:  # kernels not available on this build
+            logger.warning("Pallas kernels unavailable; using the XLA path")
             impl = "xla"
+    logger.debug(
+        "knn_points forward: impl=%s N=%d P1=%d P2=%d K=%d norm=%d",
+        impl, N, P1, P2, K, norm,
+    )
     if impl == "pallas":
         vals, idx = knn_forward_pallas(p1, p2, lengths2, K, norm)
     elif N * P1 * P2 <= _FULL_MATRIX_MAX_ELEMS:

@@ -19,11 +19,14 @@ Typical pod usage::
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger("pytorch3d_pointops_tpu.multihost")
 
 
 def initialize(
@@ -55,13 +58,19 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
         if explicit:
             raise
         # Single-process run (no coordinator configured, nothing
         # auto-detected): nothing to do — every collective in this framework
         # degrades to a copy on a single-device mesh axis.
-        pass
+        logger.debug("distributed init skipped (single-process run): %s", e)
+        return
+    logger.info(
+        "distributed runtime initialized: process %d of %d",
+        jax.process_index(),
+        jax.process_count(),
+    )
 
 
 def host_local_to_global(

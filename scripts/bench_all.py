@@ -43,6 +43,18 @@ def timeit(fn, *args, iters=3):
     return (time.time() - t0) / iters
 
 
+def timeit_min(fn, *args, iters=10):
+    """Min over runs: robust for dispatch-RTT-bound measurements where the
+    tunnel round-trip variance exceeds the op cost."""
+    _force(fn(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        _force(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main():
     results = {}
     on_tpu = jax.default_backend() == "tpu"
@@ -54,7 +66,7 @@ def main():
     # (the driver's knn_small number is meaningless without it).
     k = jax.random.PRNGKey(0)
     noop = jax.jit(lambda x: x + 1.0)
-    t_rtt = timeit(noop, jnp.zeros((8,), jnp.float32), iters=10)
+    t_rtt = timeit_min(noop, jnp.zeros((8,), jnp.float32))
     results["dispatch_rtt_floor"] = {"ms": t_rtt * 1e3}
 
     # ---- config 1: 2-cloud batch (1000/800 pts, K=8) ----
@@ -63,13 +75,14 @@ def main():
     l1 = jnp.asarray([1000, 800], jnp.int32)
     l2 = jnp.asarray([1000, 800], jnp.int32)
     f = jax.jit(lambda a, b: knn_points(a, b, l1, l2, K=8).dists)
-    t = timeit(f, p1, p2)
-    t_net = max(t - t_rtt, 1e-9)
+    t = timeit_min(f, p1, p2)
+    t_net = t - t_rtt
     results["knn_small"] = {
         "ms": t * 1e3,
         "ms_minus_rtt": t_net * 1e3,
         "queries_per_s": 1800 / t,
-        "queries_per_s_minus_rtt": 1800 / t_net,
+        # Below ~0.5 ms the op is indistinguishable from dispatch noise.
+        "queries_per_s_minus_rtt": (1800 / t_net) if t_net > 5e-4 else None,
     }
 
     # ---- config 2: PointNet++ grouping, batch=32 x 4k pts ----
