@@ -94,7 +94,10 @@ def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
         if jax.default_backend() == "tpu":
             from ..kernels.fps_pallas import MAX_BATCHED_ELEMS, MAX_VMEM_POINTS
 
-            if N >= 4 and N * P <= MAX_BATCHED_ELEMS:
+            # Measured (scripts/tune_fps.py): batched wins for many small
+            # clouds; past ~8k points/cloud the dense8 per-cloud kernel's
+            # packed layout wins even at batch 8.
+            if N >= 4 and P <= 8192 and N * P <= MAX_BATCHED_ELEMS:
                 impl = "pallas_batched"
             elif P <= MAX_VMEM_POINTS:
                 impl = "pallas"
