@@ -209,6 +209,9 @@ def _bq_round(p1, p2_t, lengths2, lb, Kc, r2, tile_p1, tile_p2, interpret):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The default 16 MB scoped-VMEM compile limit sits right at this
+            # kernel's stack usage; raise it per-kernel (v5e has 128 MB).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths2.astype(jnp.int32), p1, p2_t, lb[..., None])

@@ -1,33 +1,40 @@
 """Pallas TPU kernel for brute-force KNN with streaming top-K selection.
 
 The TPU-native replacement for the reference's four CUDA kernel variants
-(csrc/knn/knn.cu:28-312).  Round-2 design — the selection runs in a
-TRANSPOSED layout with queries on the 128-wide LANE dimension:
+(csrc/knn/knn.cu:28-312).  Round-2 design — TRANSPOSED, MULTI-CHAIN:
 
-* Grid ``(N, P1/T1, P2/T2)``, P2 innermost.  Each program computes a
-  (T2, T1) distance tile — candidate points on sublanes, queries on lanes —
-  and merges it into a running (K, T1) sorted top-K state that lives in the
-  output VMEM block (consecutive P2 steps revisit the same block, so the
-  state never round-trips to HBM; the VMEM analog of the CUDA kernels'
-  register-resident MinK, csrc/utils/mink.cuh:41-126).
+* Grid ``(N, P1/(C*W), P2/T2)``, P2 innermost.  Each program computes a
+  (T2, C*W) distance tile — candidate points on sublanes, queries on the
+  128-wide LANE dimension — and maintains C=4 independent 128-lane query
+  "chains", each with its own (K, W) sorted top-K state resident in a
+  private output VMEM block (consecutive P2 steps revisit the same blocks,
+  so the states never round-trip to HBM; the VMEM analog of the CUDA
+  kernels' register-resident MinK, csrc/utils/mink.cuh:41-126).
 
   Why transposed: the r1 kernel kept state as (T1, K) — every insert op
-  used K=16 of 128 lanes (7/8 of each vreg idle) and all per-query vectors
-  were sublane-strided.  Transposed, the state is 4 dense vregs, per-query
-  vectors are (1, T1) lane vectors, and the fold is a sublane-halving min
-  chain.  Measured on v5e at N=M=100k/K=16: 547k -> 677k queries/s.
+  used K=16 of 128 lanes (7/8 of each vreg idle).  Transposed, the state is
+  lane-dense and per-query vectors are (1, W) lane vectors.
+  Why chains: extraction sweeps are latency-bound (~0.3 us of serial
+  reduce -> recover -> insert -> mask per sweep against ~0.03 us of element
+  work); C independent chains amortize the per-tile scalar syncs over C*W
+  queries while giving the VLIW scheduler independent chains to interleave.
+  Measured on v5e at N=M=100k/K=16: r1 547k -> transposed 677k -> 4-chain
+  745k queries/s.  8+ chains regress (385k); so do wider single chains
+  (1x512: 382k).
 
-* Top-K merge is threshold-screened and fold-batched: the sorted state's
-  last row is the kth-smallest distance seen so far; candidates that beat
-  it (strict <, MinK's replace-max admission, mink.cuh:62-83) are folded to
-  per-stride-group minima (group(row) = row % GF) with pairwise minimum
-  chains, and up to ``maxc`` extraction sweeps pull the global winners out
-  of the small (GF, T1) buffer.  Original rows are recovered with a one-hot
-  compare + a second minimum fold of masked f32 row ids — dual-array select
-  chains SIGABRT the Mosaic compiler (verified again in r2 for the sublane
-  orientation), and int min-reductions don't lower.
+* Top-K merge is threshold-screened and fold-batched per chain: the sorted
+  state's last row is the kth-smallest distance seen so far; candidates
+  that beat it (strict <, MinK's replace-max admission, mink.cuh:62-83) are
+  folded to per-stride-group minima (group(row) = row % GF) with
+  sublane-halving minimum chains, and up to ``maxc`` extraction sweeps
+  (jointly gated across chains; empty chains extract inf harmlessly) pull
+  the winners out of the small (GF, W) buffers.  Original rows are
+  recovered with a one-hot compare + a second minimum fold of masked f32
+  row ids — dual-array select chains SIGABRT the Mosaic compiler (verified
+  again in r2 for the sublane orientation), and int min-reductions don't
+  lower.
 
-* Each winner inserts into the sorted state at its lexicographic
+* Each winner inserts into its chain's sorted state at its lexicographic
   (value, global index) position (rank + sublane shift), which makes the
   final order independent of the extraction schedule and exactly
   reference-stable: ties keep the LOWEST index (first-seen-wins,
@@ -35,26 +42,25 @@ TRANSPOSED layout with queries on the 128-wide LANE dimension:
 
 * Same-group SECOND winners (phase 1 retires at most one entry per fold
   group) are caught by per-group (value, row) watermarks + one full-width
-  fallback pass.  The survivor screen admits value TIES with the new kth
-  (<=, clamped at 3e38 to exclude inf) so a shadowed tie with a lower
-  global index can still displace an equal-valued phase-1 insert; the
-  lexicographic insert rejects higher-index ties via pos == K.
+  fallback pass per chain.  The survivor screen admits value TIES with the
+  new kth (<=, clamped at 3e38 to exclude inf) so a shadowed tie with a
+  lower global index can still displace an equal-valued phase-1 insert;
+  the lexicographic insert rejects higher-index ties via pos == K.
 
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
   ``_apply_pad_conventions``), mirroring the split in the reference.
 
-r2 variants measured and REJECTED (see scripts/knn_r2_transposed.py):
-branch-free unconditional sweeps + rank-merge (601k), fori-loop sweeps
-(672k), done-flag gating (623k), reshape-broadcast phase-2 (656k),
-"gm" no-update watermarks (618k), dual-array index folds (Mosaic SIGABRT),
-tile_p1 512 (382k), tile_p2 4096 (336k), xpose/y4d distance layouts (no
-gain) — the kernel is bounded by per-tile serial dependency chains, not
-element work or branch count.
+r2 variants measured and REJECTED (scripts/knn_r2_transposed.py,
+scripts/knn_r2_dualchain.py): branch-free unconditional sweeps + rank-merge
+(601k), fori-loop sweeps (672k), done-flag gating (623k), lite 7-pass
+phase-2 screen (no change), reshape-broadcast phase-2 (656k), "gm"
+no-update watermarks (618k), dual-array index folds (Mosaic SIGABRT),
+2x256 chains (354k), 8x128 chains (385k), tile_p2 1024/4096, GF 32/128.
 
-Memory: one (D, T1) query tile + one (T2, D) candidate tile + the (T2, T1)
-screened-distance scratch + four (GF, T1) fold buffers; everything else
-streams, so P1/P2 are unbounded (1M x 1M works in tile-sized VMEM).
+Memory: one (D, C*W) query tile + one (T2, D) candidate tile + C x
+((T2, W) screened-distance scratch + four (GF, W) fold buffers); everything
+else streams, so P1/P2 are unbounded (1M x 1M works in tile-sized VMEM).
 """
 
 from __future__ import annotations
@@ -70,11 +76,11 @@ Array = jnp.ndarray
 
 _INF = float("inf")  # plain float: jnp constants would init backends at import
 
-# Tuned on TPU v5e (scripts/knn_r2_transposed.py, N=M=100k K=16): 677k q/s
-# at (256, 2048, GF=64); (128, 2048) 668k, (512, 2048) 382k, (256, 4096)
-# 336k, GF=128 653k.
-DEFAULT_TILE_P1 = 256
+# Tuned on TPU v5e (scripts/knn_r2_dualchain.py, N=M=100k K=16): 745k q/s at
+# 4 chains x 128 lanes, T2=2048, GF=64.
+DEFAULT_TILE_P1 = 512
 DEFAULT_TILE_P2 = 2048
+_CHAIN_WIDTH = 128
 _KNN_FOLD_FLOOR = 64
 
 
@@ -89,36 +95,41 @@ def _fold_width(tile_p2: int, floor: int = 256) -> int:
 
 def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
-    p1t_ref,  # VMEM (1, D, T1) — queries transposed: coords on sublanes
+    p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
     p2_ref,  # VMEM (1, T2, D) — candidates natural
-    out_d_ref,  # VMEM (1, K, T1) — the running sorted state (transposed)
-    out_i_ref,  # VMEM (1, K, T1)
-    dw_ref,  # VMEM scratch (T2, T1) — screened distances
-    af_ref,  # VMEM scratch (GF, T1) — folded per-group minima
-    ai_ref,  # VMEM scratch (GF, T1) — their original rows (f32)
-    wm_ref,  # VMEM scratch (GF, T1) — per-group extraction watermark value
-    wml_ref,  # VMEM scratch (GF, T1) — watermark row (f32)
-    *,
+    *refs,  # C x (out_d (1,K,W), out_i) then C x (dw, af, ai, wm, wml)
     K: int,
     norm: int,
     tile_p2: int,
+    chains: int,
+    width: int,
+    gf: int,
 ):
     j = pl.program_id(2)
+    C, W, GF, T2 = chains, width, gf, tile_p2
+    out_d = refs[0 : 2 * C : 2]
+    out_i = refs[1 : 2 * C : 2]
+    scratch = refs[2 * C :]
+    dw = scratch[0::5]
+    af = scratch[1::5]
+    ai = scratch[2::5]
+    wm = scratch[3::5]
+    wml = scratch[4::5]
 
     @pl.when(j == 0)
     def _():
-        out_d_ref[...] = jnp.full(out_d_ref.shape, _INF, jnp.float32)
-        out_i_ref[...] = jnp.zeros(out_i_ref.shape, jnp.int32)
+        for c in range(C):
+            out_d[c][...] = jnp.full(out_d[c].shape, _INF, jnp.float32)
+            out_i[c][...] = jnp.zeros(out_i[c].shape, jnp.int32)
 
-    xt = p1t_ref[0]  # (D, T1)
+    xt = p1t_ref[0]  # (D, C*W)
     y = p2_ref[0]  # (T2, D)
     D = xt.shape[0]
-    T1 = xt.shape[1]
-    T2 = tile_p2
 
+    # Joint distance tile over all chains, sliced per chain afterwards.
     if norm == 2 and D > 8:
         # Large D: |x|^2 + |y|^2 - 2 y.x on the MXU in HIGHEST precision.
-        x2 = jnp.sum(xt * xt, axis=0, keepdims=True)  # (1, T1)
+        x2 = jnp.sum(xt * xt, axis=0, keepdims=True)  # (1, C*W)
         y2 = jnp.sum(y * y, axis=1, keepdims=True)  # (T2, 1)
         yx = jax.lax.dot_general(
             y,
@@ -126,160 +137,175 @@ def _knn_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (T2, T1)
-        d = jnp.maximum(y2 + x2 - 2.0 * yx, 0.0)
+        )
+        d_all = jnp.maximum(y2 + x2 - 2.0 * yx, 0.0)
     elif norm == 2:
         # Small D: exact f32 per-axis accumulation on the VPU — matches the
         # reference CUDA numerics (knn.cu:100-109) with no cancellation and
         # no bf16 MXU rounding.
-        d = jnp.zeros((T2, T1), jnp.float32)
+        d_all = jnp.zeros((T2, C * W), jnp.float32)
         for di in range(D):
             diff = y[:, di][:, None] - xt[di][None, :]
-            d = d + diff * diff
+            d_all = d_all + diff * diff
     else:
-        d = jnp.zeros((T2, T1), jnp.float32)
+        d_all = jnp.zeros((T2, C * W), jnp.float32)
         for di in range(D):
-            d = d + jnp.abs(y[:, di][:, None] - xt[di][None, :])
+            d_all = d_all + jnp.abs(y[:, di][:, None] - xt[di][None, :])
 
-    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T2, W), 0)
     len2 = lengths2_ref[pl.program_id(0)]
-    d = jnp.where(j * tile_p2 + row < len2, d, _INF)
+    rmask = j * tile_p2 + row < len2
 
     if K == 1:
-        # Chamfer's case: the running top-1 is a plain min/argmin — no
-        # screen, no extraction loop; ~2 VPU passes over the distance tile.
-        m = jnp.min(d, axis=0)
-        am = jnp.argmin(d, axis=0).astype(jnp.int32)
-        better = m < out_d_ref[0][0]
-        out_d_ref[0, 0] = jnp.where(better, m, out_d_ref[0, 0])
-        out_i_ref[0, 0] = jnp.where(better, j * tile_p2 + am, out_i_ref[0, 0])
+        # Chamfer's case: the running top-1 is a plain min/argmin per chain.
+        for c in range(C):
+            d_c = jnp.where(rmask, d_all[:, c * W : (c + 1) * W], _INF)
+            m = jnp.min(d_c, axis=0)
+            am = jnp.argmin(d_c, axis=0).astype(jnp.int32)
+            better = m < out_d[c][0][0]
+            out_d[c][0, 0] = jnp.where(better, m, out_d[c][0, 0])
+            out_i[c][0, 0] = jnp.where(
+                better, j * tile_p2 + am, out_i[c][0, 0]
+            )
         return
 
-    # Admission screen: the state is sorted ascending, so its last row is
-    # the kth-smallest distance so far.  Strict < matches MinK's replace-max
+    # Admission screen per chain: each sorted state's last row is that
+    # chain's kth-smallest so far.  Strict < matches MinK's replace-max
     # test (first-seen wins on exact ties, mink.cuh:70).
-    state_d = out_d_ref[0]  # (K, T1) sorted ascending
-    thresh = state_d[K - 1][None, :]
-    win = d < thresh
-    cnt = jnp.sum(win.astype(jnp.int32), axis=0)  # (T1,)
-    maxc = jnp.minimum(jnp.max(cnt), K)
+    ds = []
+    wins = []
+    cnts = []
+    for c in range(C):
+        d_c = jnp.where(rmask, d_all[:, c * W : (c + 1) * W], _INF)
+        ds.append(d_c)
+        thresh = out_d[c][0][K - 1][None, :]
+        win = d_c < thresh
+        wins.append(win)
+        cnts.append(jnp.sum(win.astype(jnp.int32), axis=0))
+    maxc = jnp.minimum(
+        functools.reduce(jnp.maximum, [jnp.max(cn) for cn in cnts]), K
+    )
 
-    krow = jax.lax.broadcasted_iota(jnp.int32, (K, T1), 0)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (K, W), 0)
+    row_gf = jax.lax.broadcasted_iota(jnp.int32, (GF, W), 0)
+    row_f = row.astype(jnp.float32)
+    n_folds = (tile_p2 // GF).bit_length() - 1
+    reps = T2 // GF
 
-    def insert(m, gidx):
-        """Insert (m, gidx) per lane into the sorted state, ordered
+    def insert(c, m, gidx):
+        """Insert (m, gidx) per lane into chain c's sorted state, ordered
         lexicographically by (value, global index) — exactly the
         reference's stable first-seen-wins order, independent of the
         extraction schedule.  pos == K (lost to the tightened kth, or
         m == inf on exhausted lanes) leaves real entries unchanged."""
-        state = out_d_ref[0]
-        sti = out_i_ref[0]
+        state = out_d[c][0]
+        sti = out_i[c][0]
         mb = m[None, :]
         gb = gidx[None, :]
         pos = jnp.sum(
             ((state < mb) | ((state == mb) & (sti < gb))).astype(jnp.int32),
             axis=0,
         )[None, :]
-        shifted_d = jnp.concatenate([state[:1], state[:-1]], axis=0)
-        shifted_i = jnp.concatenate([sti[:1], sti[:-1]], axis=0)
-        out_d_ref[0] = jnp.where(
-            krow < pos, state, jnp.where(krow == pos, mb, shifted_d)
+        sd = jnp.concatenate([state[:1], state[:-1]], axis=0)
+        si = jnp.concatenate([sti[:1], sti[:-1]], axis=0)
+        out_d[c][0] = jnp.where(
+            krow < pos, state, jnp.where(krow == pos, mb, sd)
         )
-        out_i_ref[0] = jnp.where(
-            krow < pos, sti, jnp.where(krow == pos, gb, shifted_i)
+        out_i[c][0] = jnp.where(
+            krow < pos, sti, jnp.where(krow == pos, gb, si)
         )
-
-    GF = af_ref.shape[0]
-    n_folds = (tile_p2 // GF).bit_length() - 1
-    reps = T2 // GF
-    row_f = row.astype(jnp.float32)
-    row_gf = jax.lax.broadcasted_iota(jnp.int32, (GF, T1), 0)
 
     @pl.when(maxc > 0)
     def _():
-        # Phase 1 — folded extraction.  Full-width min sweeps would be
-        # reduce-tree bound over the whole (T2, T1) buffer; instead fold
-        # the survivors to per-stride-group minima (GF, T1) with
-        # sublane-halving pairwise minimum chains (group(row) = row % GF)
-        # and sweep the much smaller buffer.  Rows are recovered with a
-        # one-hot compare against the tiled group minima + a second minimum
-        # fold of masked f32 row ids.
-        dw_ref[...] = jnp.where(win, d, _INF)
-        h = dw_ref[...]
-        for _f in range(n_folds):
-            half = h.shape[0] // 2
-            h = jnp.minimum(h[:half], h[half:])
-        af_ref[...] = h
-        if n_folds > 0:
-            gm_b = jnp.concatenate([h] * reps, axis=0)
-            row_val = jnp.where(dw_ref[...] == gm_b, row_f, 3e38)
+        # Phase 1 — folded extraction per chain: fold the survivors to
+        # per-stride-group minima (GF, W) with sublane-halving minimum
+        # chains and sweep the small buffers; rows recovered via one-hot
+        # compare + a second minimum fold of masked f32 row ids.
+        for c in range(C):
+            dw[c][...] = jnp.where(wins[c], ds[c], _INF)
+            h = dw[c][...]
             for _f in range(n_folds):
-                half = row_val.shape[0] // 2
-                row_val = jnp.minimum(row_val[:half], row_val[half:])
-            ai_ref[...] = row_val
-        else:
-            ai_ref[...] = row_f
-        wm_ref[...] = jnp.full(wm_ref.shape, -_INF, jnp.float32)
-        wml_ref[...] = jnp.full(wml_ref.shape, -1.0, jnp.float32)
+                half = h.shape[0] // 2
+                h = jnp.minimum(h[:half], h[half:])
+            af[c][...] = h
+            if n_folds > 0:
+                gm_b = jnp.concatenate([h] * reps, axis=0)
+                rv = jnp.where(dw[c][...] == gm_b, row_f, 3e38)
+                for _f in range(n_folds):
+                    half = rv.shape[0] // 2
+                    rv = jnp.minimum(rv[:half], rv[half:])
+                ai[c][...] = rv
+            else:
+                ai[c][...] = row_f
+            wm[c][...] = jnp.full(wm[c].shape, -_INF, jnp.float32)
+            wml[c][...] = jnp.full(wml[c].shape, -1.0, jnp.float32)
+
         for k in range(K):
 
             @pl.when(k < maxc)
             def _(k=k):
-                av = af_ref[...]
-                mval = jnp.min(av, axis=0)  # (T1,)
-                # Lowest original row among current minima (exact ties).
-                sub_f = jnp.min(
-                    jnp.where(av == mval[None, :], ai_ref[...], 3e38),
-                    axis=0,
-                )
-                sub_sel = sub_f.astype(jnp.int32)
-                insert(mval, j * tile_p2 + sub_sel)
-                g_sel = sub_sel - (sub_sel // GF) * GF
-                upd = (row_gf == g_sel[None, :]) & (mval[None, :] < _INF)
-                af_ref[...] = jnp.where(upd, _INF, av)
-                wm_ref[...] = jnp.where(upd, mval[None, :], wm_ref[...])
-                wml_ref[...] = jnp.where(upd, sub_f[None, :], wml_ref[...])
+                # C independent sweep bodies back to back: chains that ran
+                # dry extract inf (insert rejects at pos == K), keeping the
+                # region branch-free and the chains interleavable.
+                for c in range(C):
+                    av = af[c][...]
+                    mval = jnp.min(av, axis=0)  # (W,)
+                    sub_f = jnp.min(
+                        jnp.where(av == mval[None, :], ai[c][...], 3e38),
+                        axis=0,
+                    )
+                    sub_sel = sub_f.astype(jnp.int32)
+                    insert(c, mval, j * tile_p2 + sub_sel)
+                    g_sel = sub_sel - (sub_sel // GF) * GF
+                    upd = (row_gf == g_sel[None, :]) & (
+                        mval[None, :] < _INF
+                    )
+                    af[c][...] = jnp.where(upd, _INF, av)
+                    wm[c][...] = jnp.where(upd, mval[None, :], wm[c][...])
+                    wml[c][...] = jnp.where(upd, sub_f[None, :], wml[c][...])
 
         if n_folds > 0:
             # Phase 2 — fallback for same-group SECOND winners (phase 1
             # retires at most one element per fold group): per-group
             # (value, row) watermarks identify survivors; the classic
-            # full-width extraction finishes them.  Lex insertion keeps the
-            # final order phase-independent.  Admit VALUE TIES with the new
-            # kth (<=, not <): a shadowed same-group tie with a LOWER
-            # global index than an equal-valued phase-1 insert must still
-            # displace it (first-seen-wins); the lexicographic insert
-            # rejects higher-index ties via pos == K, and extraction
-            # retires lowest-(value, row) first, so K sweeps suffice.
-            # Clamping the threshold at 3e38 keeps inf (masked /
+            # full-width extraction finishes them.  Lex insertion keeps
+            # the final order phase-independent.  Admit VALUE TIES with
+            # the new kth (<=, not <): a shadowed same-group tie with a
+            # LOWER global index than an equal-valued phase-1 insert must
+            # still displace it (first-seen-wins); the lexicographic
+            # insert rejects higher-index ties via pos == K, and
+            # extraction retires lowest-(value, row) first, so K sweeps
+            # suffice.  Clamping the threshold at 3e38 keeps inf (masked /
             # non-admitted) lanes out while t_new is still inf.
-            t_new = out_d_ref[0][K - 1][None, :]
-            wm_b = jnp.concatenate([wm_ref[...]] * reps, axis=0)
-            wml_b = jnp.concatenate([wml_ref[...]] * reps, axis=0)
-            dwv = dw_ref[...]
-            surv = (dwv <= jnp.minimum(t_new, 3e38)) & (
-                (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
-            )
-            maxc2 = jnp.minimum(
-                jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)), K
-            )
+            survs = []
+            m2s = []
+            for c in range(C):
+                t_new = out_d[c][0][K - 1][None, :]
+                wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
+                wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
+                dwv = dw[c][...]
+                surv = (dwv <= jnp.minimum(t_new, 3e38)) & (
+                    (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
+                )
+                survs.append(surv)
+                m2s.append(jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)))
+            maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)
 
             @pl.when(maxc2 > 0)
             def _():
-                dw_ref[...] = jnp.where(surv, dwv, _INF)
+                for c in range(C):
+                    dw[c][...] = jnp.where(survs[c], dw[c][...], _INF)
                 for k in range(K):
 
                     @pl.when(k < maxc2)
                     def _(k=k):
-                        dw = dw_ref[...]
-                        m = jnp.min(dw, axis=0)
-                        am = jnp.argmin(dw, axis=0).astype(jnp.int32)
-                        insert(m, j * tile_p2 + am)
-
-                        @pl.when(k + 1 < maxc2)
-                        def _():
-                            dw_ref[...] = jnp.where(
-                                row == am[None, :], _INF, dw
+                        for c in range(C):
+                            dwc = dw[c][...]
+                            m = jnp.min(dwc, axis=0)
+                            am = jnp.argmin(dwc, axis=0).astype(jnp.int32)
+                            insert(c, m, j * tile_p2 + am)
+                            dw[c][...] = jnp.where(
+                                row == am[None, :], _INF, dwc
                             )
 
 
@@ -302,6 +328,8 @@ def knn_forward_pallas(
         p1: (N, P1, D) queries; p2: (N, P2, D) references (f32).
         lengths2: (N,) valid reference counts.
         K: neighbors; norm: 1 or 2.
+        tile_p1: TOTAL query lanes per program; split into 128-lane chains
+            when divisible (4 x 128 is the tuned production shape).
 
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
@@ -311,7 +339,12 @@ def knn_forward_pallas(
     P2 = p2.shape[1]
     tile_p1 = min(tile_p1, max(8, P1))
     tile_p2 = min(tile_p2, max(8, P2))
-    P1pad = -(-P1 // tile_p1) * tile_p1
+    if tile_p1 % _CHAIN_WIDTH == 0:
+        chains, width = tile_p1 // _CHAIN_WIDTH, _CHAIN_WIDTH
+    else:
+        chains, width = 1, tile_p1
+    CW = chains * width
+    P1pad = -(-P1 // CW) * CW
     P2pad = -(-P2 // tile_p2) * tile_p2
     if P1pad != P1:
         p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
@@ -322,16 +355,46 @@ def knn_forward_pallas(
     p1_t = jnp.swapaxes(p1, 1, 2)  # (N, D, P1pad)
     lengths2_smem = lengths2.astype(jnp.int32)
 
-    grid = (N, P1pad // tile_p1, P2pad // tile_p2)
+    nb = P1pad // CW
+    grid = (N, nb, P2pad // tile_p2)
     gf = _fold_width(tile_p2, _KNN_FOLD_FLOOR)
 
-    kernel = functools.partial(_knn_kernel, K=K, norm=norm, tile_p2=tile_p2)
+    kernel = functools.partial(
+        _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
+        width=width, gf=gf,
+    )
+    out_specs = []
+    out_shapes = []
+    for _c in range(chains):
+        out_specs += [
+            pl.BlockSpec(
+                (1, K, width), lambda n, i, j, _l: (n, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, K, width), lambda n, i, j, _l: (n, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((N, K, nb * width), jnp.float32),
+            jax.ShapeDtypeStruct((N, K, nb * width), jnp.int32),
+        ]
+    scratch = []
+    for _c in range(chains):
+        scratch += [
+            pltpu.VMEM((tile_p2, width), jnp.float32),
+            pltpu.VMEM((gf, width), jnp.float32),
+            pltpu.VMEM((gf, width), jnp.float32),
+            pltpu.VMEM((gf, width), jnp.float32),
+            pltpu.VMEM((gf, width), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, D, tile_p1), lambda n, i, j, _l: (n, 0, i),
+                (1, D, CW), lambda n, i, j, _l: (n, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -339,31 +402,13 @@ def knn_forward_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, K, tile_p1), lambda n, i, j, _l: (n, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, K, tile_p1), lambda n, i, j, _l: (n, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_p2, tile_p1), jnp.float32),
-            pltpu.VMEM((gf, tile_p1), jnp.float32),
-            pltpu.VMEM((gf, tile_p1), jnp.float32),
-            pltpu.VMEM((gf, tile_p1), jnp.float32),
-            pltpu.VMEM((gf, tile_p1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    out_d, out_i = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((N, K, P1pad), jnp.float32),
-            jax.ShapeDtypeStruct((N, K, P1pad), jnp.int32),
-        ],
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * P1pad * P2pad * D,
             bytes_accessed=4 * N * (P1pad * D + P2pad * D + 2 * P1pad * K),
@@ -371,12 +416,25 @@ def knn_forward_pallas(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths2_smem, p1_t, p2)
 
+    if chains == 1:
+        d_full, i_full = outs[0], outs[1]
+    else:
+        # De-interleave chains: chain c's block i covers queries
+        # [i*CW + c*width, i*CW + (c+1)*width) — stack gives
+        # (..., i*W + w, c); reorder to (i, c, w) before flattening.
+        def deinterleave(arrs):
+            st = jnp.stack(arrs, axis=3).reshape(N, K, nb, width, chains)
+            return jnp.moveaxis(st, 4, 3).reshape(N, K, P1pad)
+
+        d_full = deinterleave(outs[0::2])
+        i_full = deinterleave(outs[1::2])
+
     return (
-        jnp.swapaxes(out_d, 1, 2)[:, :P1],
-        jnp.swapaxes(out_i, 1, 2)[:, :P1],
+        jnp.swapaxes(d_full, 1, 2)[:, :P1],
+        jnp.swapaxes(i_full, 1, 2)[:, :P1],
     )

@@ -297,9 +297,9 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
     for cfg in [
-        dict(chains=2, width=256, gf=64),
-        dict(chains=2, width=128, gf=64),
-        dict(chains=4, width=128, gf=64),
+        dict(chains=5, width=128, gf=64),
+        dict(chains=6, width=128, gf=64),
+        dict(chains=3, width=128, gf=64),
     ]:
         try:
             check(cfg)
