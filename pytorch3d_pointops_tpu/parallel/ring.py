@@ -46,6 +46,13 @@ def _local_knn(x, y, len2_local, K, norm):
     """Local brute-force KNN of x (N, P1l, D) against a visiting shard
     y (N, P2l, D); returns (dists, local idx) inf-padded to K."""
     P2l = y.shape[1]
+    if jax.default_backend() == "tpu":
+        # Per-device hot loop on a pod: run the Pallas streaming kernel per
+        # visiting shard (same in-kernel lengths masking and inf-pad
+        # conventions as the XLA path below, ~35x faster per hop).
+        from ..kernels.knn_pallas import knn_forward_pallas
+
+        return knn_forward_pallas(x, y, len2_local, K, norm)
     d = _pairwise_dist(x, y, norm)  # (N, P1l, P2l)
     j_valid = (
         jnp.arange(P2l, dtype=jnp.int32)[None, :] < len2_local[:, None]

@@ -95,8 +95,9 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
 
-    for t1, t2 in [(256, 2048), (192, 2048), (128, 1024), (256, 1024),
-                   (512, 1024), (384, 2048)]:
+    # tile_p1 is the TOTAL query width per program; multiples of 128 split
+    # into 128-lane chains (512 -> the tuned 4x128 production shape).
+    for t1, t2 in [(512, 2048), (384, 2048), (256, 2048), (512, 1024)]:
         # pad P to multiples handled inside knn_forward_pallas
         try:
             t_full = timeit(
@@ -109,14 +110,17 @@ if __name__ == "__main__":
             print(f"full  T1={t1:5d} T2={t2:5d}: FAIL {type(e).__name__}: "
                   f"{str(e)[:120]}")
 
-    for t1, t2 in []:
-        P1pad = -(-P // t1) * t1
-        P2pad = -(-P // t2) * t2
-        p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P), (0, 0)))
-        p2p = jnp.swapaxes(jnp.pad(p2, ((0, 0), (0, P2pad - P), (0, 0))), 1, 2)
-        t_d = timeit(
-            jax.jit(functools.partial(dist_only, tile_p1=t1, tile_p2=t2),
-                    static_argnames=()),
-            p1p, p2p, lengths)
-        print(f"dist  T1={t1:5d} T2={t2:5d}: {t_d*1e3:8.2f} ms  "
-              f"({P/t_d:,.0f} q/s)")
+    if "--dist-floor" in sys.argv:
+        for t1, t2 in [(256, 2048)]:
+            P1pad = -(-P // t1) * t1
+            P2pad = -(-P // t2) * t2
+            p1p = jnp.pad(p1, ((0, 0), (0, P1pad - P), (0, 0)))
+            p2p = jnp.swapaxes(
+                jnp.pad(p2, ((0, 0), (0, P2pad - P), (0, 0))), 1, 2
+            )
+            t_d = timeit(
+                jax.jit(functools.partial(dist_only, tile_p1=t1, tile_p2=t2),
+                        static_argnames=()),
+                p1p, p2p, lengths)
+            print(f"dist  T1={t1:5d} T2={t2:5d}: {t_d*1e3:8.2f} ms  "
+                  f"({P/t_d:,.0f} q/s)")

@@ -123,3 +123,21 @@ def test_fps_batched_compiled():
         pts, lengths, K, starts
     )
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(idx_xla))
+
+
+def test_ring_knn_pallas_local_op_compiled():
+    """ring_knn_points on a single-device mesh exercises the Pallas kernel
+    inside shard_map + scan, compiled; results must match the plain op."""
+    from pytorch3d_pointops_tpu.ops.knn import knn_points
+    from pytorch3d_pointops_tpu.parallel import make_mesh, ring_knn_points
+
+    mesh = make_mesh((1,), ("sp",))
+    p1, p2 = _clouds(11, 2, 512, 2048)
+    l1 = jnp.asarray([512, 400], jnp.int32)
+    l2 = jnp.asarray([2048, 1500], jnp.int32)
+    out_r = ring_knn_points(p1, p2, l1, l2, K=8, mesh=mesh)
+    out_s = knn_points(p1, p2, l1, l2, K=8)
+    np.testing.assert_array_equal(np.asarray(out_r.idx), np.asarray(out_s.idx))
+    np.testing.assert_allclose(
+        np.asarray(out_r.dists), np.asarray(out_s.dists), atol=1e-5
+    )
