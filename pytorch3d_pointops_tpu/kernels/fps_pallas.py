@@ -16,7 +16,7 @@ cover the two shapes of the problem:
   **sublane-dense** as (D*8, P/8) and the running ``min_point_dist`` buffer
   as (8, P/8): 16 B/point of VMEM (vs ~64 B/point for the r1 (D, P)/(1, P)
   layout whose single-sublane rows wasted 7/8 of each tile).  With the
-  per-kernel ``vmem_limit_bytes`` raised, clouds up to ~4M points stay
+  per-kernel ``vmem_limit_bytes`` raised, clouds up to 2M points stay
   VMEM-resident across all K rounds — the XLA fori_loop fallback re-streams
   P*12 B from HBM per round; this kernel reads HBM once per cloud.
 
@@ -43,8 +43,9 @@ Array = jnp.ndarray
 _INF = float("inf")
 
 # Per-cloud VMEM cap for the dense8 kernel: 16 B/point against the raised
-# 100 MB vmem_limit_bytes, with headroom for compiler temporaries.
-MAX_VMEM_POINTS = 4 * 1024 * 1024
+# 100 MB vmem_limit_bytes.  Measured on v5e: 2M points compiles and runs
+# (~50 ms/1024 rounds); 4M exceeds the compiler's stack budget.
+MAX_VMEM_POINTS = 2 * 1024 * 1024
 # Batched-kernel gate: total points across the batch (buffers are (N, P)).
 MAX_BATCHED_ELEMS = 4 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024

@@ -1,5 +1,8 @@
-"""Ablation timing for the Pallas KNN kernel cost model (produces WRONG
-results on purpose — timing only):
+"""HISTORICAL (round 1): ablation timing for the r1 NATURAL-layout KNN kernel
+cost model (produces WRONG results on purpose — timing only).  The shipped
+kernel is the r2 transposed multi-chain design; its ablations live in
+scripts/knn_r2_transposed.py (stop modes).  Kept for the r1 measurement
+record in CLAUDE.md:
 
   mode="screen"  : distance + admission screen, no extraction/merge
   mode="cap1"    : extraction capped at 1 sweep/tile

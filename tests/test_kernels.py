@@ -244,3 +244,55 @@ def test_fps_pallas_dense8_large_unaligned():
         pts, lengths, K, starts
     )
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(idx_xla))
+
+
+def test_knn_pallas_high_dim_mxu_path():
+    """D > 8 routes the distance through the MXU |x|^2+|y|^2-2xy expansion
+    in HIGHEST precision; parity must hold at 1e-4 (BASELINE bar)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(40))
+    p1 = jax.random.normal(k1, (1, 64, 16), jnp.float32)
+    p2 = jax.random.normal(k2, (1, 200, 16), jnp.float32)
+    l1 = jnp.full((1,), 64, jnp.int32)
+    l2 = jnp.full((1,), 200, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=8, tile_p1=32, tile_p2=64, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 2)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_zero_length_cloud():
+    """A cloud with lengths2 == 0 must produce all-inf pre-convention output
+    (the wrapper zeroes it); no nans, no garbage indices escaping."""
+    p1, p2, _ = _clouds(jax.random.PRNGKey(41), 2, 16, 64)
+    l2 = jnp.asarray([0, 64], jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=4, tile_p1=16, tile_p2=64, interpret=True
+    )
+    assert np.isinf(np.asarray(d_pal)[0]).all()
+    # full cloud still exact
+    l1 = jnp.full((2,), 16, jnp.int32)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 4, 2)
+    np.testing.assert_array_equal(np.asarray(i_pal)[1], np.asarray(i_ref)[1])
+    # public wrapper applies the reference pad conventions end to end
+    from pytorch3d_pointops_tpu.ops.knn import knn_points
+
+    out = knn_points(p1, p2, l1, l2, K=4)
+    assert (np.asarray(out.dists)[0] == 0).all()
+    assert (np.asarray(out.idx)[0] == 0).all()
+
+
+def test_knn_pallas_chain_split_width():
+    """tile_p1=256 on the production kernel splits into 2x128 chains; the
+    de-interleave must reassemble query order exactly."""
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(42), 1, 300, 500)
+    l1 = jnp.full((1,), 300, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K=8, tile_p1=256, tile_p2=256, interpret=True
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))

@@ -141,3 +141,30 @@ def test_ring_knn_pallas_local_op_compiled():
     np.testing.assert_allclose(
         np.asarray(out_r.dists), np.asarray(out_s.dists), atol=1e-5
     )
+
+
+def test_knn_compiled_l1_norm():
+    p1, p2 = _clouds(7, 1, 1024, 4096)
+    l1 = jnp.asarray([1024], jnp.int32)
+    l2 = jnp.asarray([4096], jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(p1, p2, l2, K=8, norm=1)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 1)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_compiled_high_dim_mxu():
+    """D=16 exercises the in-kernel MXU dot_general in HIGHEST precision."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    p1 = jax.random.normal(k1, (1, 512, 16), jnp.float32)
+    p2 = jax.random.normal(k2, (1, 4096, 16), jnp.float32)
+    l1 = jnp.asarray([512], jnp.int32)
+    l2 = jnp.asarray([4096], jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(p1, p2, l2, K=8)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 2)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
