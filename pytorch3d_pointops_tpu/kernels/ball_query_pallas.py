@@ -248,7 +248,9 @@ def ball_query_forward_pallas(
     p2_t = jnp.swapaxes(p2, 1, 2)
     r2 = float(radius) * float(radius)
 
-    rounds = -(-K // _ROUND_K)
+    # No query can have more than min(K, P2) in-radius neighbors, so extra
+    # rounds past that are guaranteed no-op streams over p2.
+    rounds = max(1, -(-min(K, P2) // _ROUND_K))
     Kc = K if rounds == 1 else _ROUND_K
     lb = jnp.full((N, P1pad), -1.0, jnp.float32)
     outs = []

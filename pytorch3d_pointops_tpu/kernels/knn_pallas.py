@@ -43,7 +43,7 @@ The TPU-native replacement for the reference's four CUDA kernel variants
 * Same-group SECOND winners (phase 1 retires at most one entry per fold
   group) are caught by per-group (value, row) watermarks + one full-width
   fallback pass per chain.  The survivor screen admits value TIES with the
-  new kth (<=, clamped at 3e38 to exclude inf) so a shadowed tie with a
+  new kth (<= plus an explicit dwv < inf guard) so a shadowed tie with a
   lower global index can still displace an equal-valued phase-1 insert;
   the lexicographic insert rejects higher-index ties via pos == K.
 
@@ -275,8 +275,9 @@ def _knn_kernel(
             # still displace it (first-seen-wins); the lexicographic
             # insert rejects higher-index ties via pos == K, and
             # extraction retires lowest-(value, row) first, so K sweeps
-            # suffice.  Clamping the threshold at 3e38 keeps inf (masked /
-            # non-admitted) lanes out while t_new is still inf.
+            # suffice.  Replacing an inf t_new by f32-max keeps masked /
+            # non-admitted (inf) lanes out while every finite distance
+            # stays admissible — exact, and only a (1, W) op.
             survs = []
             m2s = []
             for c in range(C):
@@ -284,7 +285,13 @@ def _knn_kernel(
                 wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
                 wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
                 dwv = dw[c][...]
-                surv = (dwv <= jnp.minimum(t_new, 3e38)) & (
+                # Exact inf-exclusion with no full-width temp: transform
+                # the (1, W) threshold instead of screening the tile — an
+                # unfull state (t_new == inf) admits every FINITE distance
+                # (up to f32 max) and nothing else.
+                f32max = float(jnp.finfo(jnp.float32).max)
+                thr = jnp.where(t_new == _INF, f32max, t_new)
+                surv = (dwv <= thr) & (
                     (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
                 )
                 survs.append(surv)

@@ -70,8 +70,13 @@ def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius, impl="auto"):
         # The Pallas kernel handles any K: it statically unrolls at most 64
         # insertion steps per round and chains rounds with a per-query key
         # lower bound for larger K (the reference's default K=500 -> 8
-        # passes over p2, one compilation).
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # passes over p2, one compilation).  Its keys are column indices in
+        # f32, exact only below 2^24 columns — larger P2 falls back to XLA.
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and P2 < 2**24
+            else "xla"
+        )
     if impl == "pallas":
         from ..kernels.ball_query_pallas import ball_query_forward_pallas
 

@@ -86,7 +86,7 @@ def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
     through each selection round together — FPS rounds are tiny, so
     amortizing per-op dispatch across the batch dominates); single/few huge
     clouds go to the per-cloud sublane-dense kernel (VMEM-resident up to
-    ~4M points); anything larger falls back to the XLA fori_loop.
+    2M points); anything larger falls back to the XLA fori_loop.
     """
     N, P = points.shape[0], points.shape[1]
     if impl == "auto":

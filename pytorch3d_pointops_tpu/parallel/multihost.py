@@ -64,7 +64,14 @@ def initialize(
         # Single-process run (no coordinator configured, nothing
         # auto-detected): nothing to do — every collective in this framework
         # degrades to a copy on a single-device mesh axis.
-        logger.debug("distributed init skipped (single-process run): %s", e)
+        # Visible by default: on a real cluster a swallowed init failure
+        # means every process silently computes single-process results.
+        logger.warning(
+            "jax.distributed.initialize auto-detection failed (%s); "
+            "proceeding single-process. If this is a multi-host cluster, "
+            "pass coordinator_address/num_processes/process_id explicitly.",
+            e,
+        )
         return
     logger.info(
         "distributed runtime initialized: process %d of %d",

@@ -58,8 +58,11 @@ def list_to_padded(
         )
 
     if pad_size is None:
+        # Entries with a nonzero LEADING dim participate in size inference
+        # even if a trailing dim is zero (reference semantics: `len(y) > 0`,
+        # structures/utils.py:65-66) — (5, 0) still contributes 5 to dim 0.
         target = [
-            max(y.shape[dim] for y in items if y.size > 0)
+            max(y.shape[dim] for y in items if y.shape[0] > 0)
             for dim in range(items[0].ndim)
         ]
     else:
@@ -72,7 +75,7 @@ def list_to_padded(
 
     out = np.full((len(items), *target), pad_value, dtype=items[0].dtype)
     for i, y in enumerate(items):
-        if y.size > 0:
+        if y.shape[0] > 0:
             region = (i, *(slice(0, s) for s in y.shape))
             out[region] = y
     return jnp.asarray(out)

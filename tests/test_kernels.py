@@ -296,3 +296,20 @@ def test_knn_pallas_chain_split_width():
     d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 8, 2)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_huge_finite_distances():
+    """Squared distances in (3e38, f32max) stay admissible in the phase-2
+    survivor screen (regression for the former 3e38 threshold clamp): the
+    unfull-state threshold transform must admit every FINITE distance."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(43))
+    p1 = jax.random.normal(k1, (1, 64, 3), jnp.float32)
+    p2 = jax.random.normal(k2, (1, 600, 3), jnp.float32) * 1.04e19
+    l1 = jnp.full((1,), 64, jnp.int32)
+    l2 = jnp.full((1,), 600, jnp.int32)
+    d_p, i_p = knn_forward_pallas(
+        p1, p2, l2, K=8, tile_p1=32, tile_p2=512, interpret=True
+    )
+    d_r, i_r = _knn_forward_full(p1, p2, l1, l2, 8, 2)
+    assert np.isfinite(np.asarray(d_r)).any()  # the band is actually hit
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))

@@ -245,3 +245,12 @@ def test_empty_and_validation():
         Pointclouds([jnp.zeros((3, 4))])
     with pytest.raises(ValueError):
         Pointclouds([jnp.zeros((3, 3))], features=[1, 2, 3])
+
+
+def test_list_to_padded_zero_trailing_dim_contributes_leading_size():
+    """Reference parity (structures/utils.py:65-66): an entry shaped (5, 0)
+    still contributes 5 to the inferred leading pad size."""
+    from pytorch3d_pointops_tpu.structures.utils import list_to_padded
+
+    out = list_to_padded([jnp.zeros((5, 0)), jnp.ones((2, 3))])
+    assert out.shape == (2, 5, 3), out.shape
