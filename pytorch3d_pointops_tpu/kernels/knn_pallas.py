@@ -19,7 +19,7 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   work); C independent chains amortize the per-tile scalar syncs over C*W
   queries while giving the VLIW scheduler independent chains to interleave.
   Measured on v5e at N=M=100k/K=16: r1 547k -> transposed 677k -> 4-chain
-  745k queries/s.  8+ chains regress (385k); so do wider single chains
+  745-769k queries/s.  8+ chains regress (385k); so do wider single chains
   (1x512: 382k).
 
 * Top-K merge is threshold-screened and fold-batched per chain: the sorted
@@ -43,9 +43,10 @@ The TPU-native replacement for the reference's four CUDA kernel variants
 * Same-group SECOND winners (phase 1 retires at most one entry per fold
   group) are caught by per-group (value, row) watermarks + one full-width
   fallback pass per chain.  The survivor screen admits value TIES with the
-  new kth (<= plus an explicit dwv < inf guard) so a shadowed tie with a
-  lower global index can still displace an equal-valued phase-1 insert;
-  the lexicographic insert rejects higher-index ties via pos == K.
+  new kth (<=, with an inf kth transformed to f32 max so finite distances
+  always stay admissible) so a shadowed tie with a lower global index can
+  still displace an equal-valued phase-1 insert; the lexicographic insert
+  rejects higher-index ties via pos == K.
 
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
@@ -291,9 +292,12 @@ def _knn_kernel(
                 # (up to f32 max) and nothing else.
                 f32max = float(jnp.finfo(jnp.float32).max)
                 thr = jnp.where(t_new == _INF, f32max, t_new)
-                surv = (dwv <= thr) & (
-                    (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
-                )
+                # 3-op lex screen: "lex(dwv,row) > lex(wm,wml)" collapses to
+                # "dwv >= wm and row != wml" because a tie candidate with a
+                # LOWER row than the extracted watermark cannot exist —
+                # extraction retires lowest-(value, row) first.  Measured
+                # +5% over the 5-op form (762k -> 798k q/s).
+                surv = (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
                 survs.append(surv)
                 m2s.append(jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)))
             maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)

@@ -39,6 +39,7 @@ def _kernel(
     gf: int,
     chains: int,
     width: int,
+    p2s: str,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
@@ -151,14 +152,21 @@ def _kernel(
 
         survs = []
         m2s = []
+        f32max = float(jnp.finfo(jnp.float32).max)
         for c in range(C):
             t_new = out_d[c][0][K - 1][None, :]
+            thr = jnp.where(t_new == _INF, f32max, t_new)
             wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
             wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
             dwv = dw[c][...]
-            surv = (dwv <= jnp.minimum(t_new, 3e38)) & (
-                (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
-            )
+            if p2s == "lite":
+                # exact: a tie with a LOWER row than the watermark can't
+                # exist (extraction retires lowest-(value,row) first)
+                surv = (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
+            else:
+                surv = (dwv <= thr) & (
+                    (dwv > wm_b) | ((dwv == wm_b) & (row_f > wml_b))
+                )
             survs.append(surv)
             m2s.append(jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)))
         maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)
@@ -181,10 +189,11 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "tile_p2", "gf", "chains", "width", "interpret"),
+    static_argnames=("K", "tile_p2", "gf", "chains", "width", "p2s",
+                     "interpret"),
 )
 def knn_multichain(
-    p1, p2, lengths2, K, tile_p2=2048, gf=64, chains=2, width=256,
+    p1, p2, lengths2, K, tile_p2=2048, gf=64, chains=2, width=256, p2s="wm",
     interpret=False,
 ):
     N, P1, D = p1.shape
@@ -200,7 +209,8 @@ def knn_multichain(
     nb = P1pad // CW
     grid = (N, nb, P2pad // tile_p2)
     kernel = functools.partial(
-        _kernel, K=K, tile_p2=tile_p2, gf=gf, chains=chains, width=width
+        _kernel, K=K, tile_p2=tile_p2, gf=gf, chains=chains, width=width,
+        p2s=p2s,
     )
     out_specs = []
     out_shapes = []
@@ -297,9 +307,8 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
     for cfg in [
-        dict(chains=5, width=128, gf=64),
-        dict(chains=6, width=128, gf=64),
-        dict(chains=3, width=128, gf=64),
+        dict(chains=4, width=128, gf=64, p2s="lite"),
+        dict(chains=4, width=128, gf=64, p2s="wm"),
     ]:
         try:
             check(cfg)
