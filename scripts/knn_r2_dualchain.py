@@ -307,8 +307,9 @@ if __name__ == "__main__":
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
     for cfg in [
-        dict(chains=4, width=128, gf=64, p2s="lite"),
-        dict(chains=4, width=128, gf=64, p2s="wm"),
+        dict(chains=4, width=128, gf=64, p2s="lite", tile_p2=4096),
+        dict(chains=4, width=128, gf=128, p2s="lite"),
+        dict(chains=4, width=128, gf=32, p2s="lite"),
     ]:
         try:
             check(cfg)
