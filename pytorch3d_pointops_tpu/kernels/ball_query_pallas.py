@@ -237,6 +237,12 @@ def ball_query_forward_pallas(
     docstring).  lengths1 row masking and distances happen in the caller."""
     N, P1, D = p1.shape
     P2 = p2.shape[1]
+    if P2 >= 2**24:
+        raise ValueError(
+            "ball_query_forward_pallas tracks columns as f32 keys, exact "
+            f"only below 2**24 reference points (got P2={P2}); use the XLA "
+            "path (ops.ball_query with impl='xla')."
+        )
     tile_p1 = min(tile_p1, max(8, P1))
     tile_p2 = min(tile_p2, max(8, P2))
     P1pad = -(-P1 // tile_p1) * tile_p1
