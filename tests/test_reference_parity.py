@@ -283,3 +283,94 @@ def test_chamfer_parity_gradients(ref):
     np.testing.assert_allclose(
         np.asarray(g_ours[1]), tp2.grad.numpy(), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.fixture(scope="module")
+def ref_pc(ref):
+    """The reference Pointclouds container (pure torch, same injected _C)."""
+    import importlib
+
+    return importlib.import_module(
+        "pytorch3d_pointops.structures.point_structure"
+    )
+
+
+def test_pointclouds_container_parity(ref_pc):
+    """Construction, lazy rep conversion, indexing, and update_padded
+    feature semantics match the reference container."""
+    import torch
+
+    from pytorch3d_pointops_tpu import Pointclouds
+
+    rng = np.random.default_rng(4)
+    pts = [rng.standard_normal((s, 3)).astype(np.float32) for s in (7, 3, 5)]
+    feats = [rng.random((s, 2)).astype(np.float32) for s in (7, 3, 5)]
+
+    ours = Pointclouds(
+        [jnp.asarray(p) for p in pts],
+        features={"intensity": [jnp.asarray(f) for f in feats]},
+    )
+    theirs = ref_pc.Pointclouds(
+        points=[torch.from_numpy(p) for p in pts],
+        features={"intensity": [torch.from_numpy(f) for f in feats]},
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ours.points_padded()), theirs.points_padded().numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.points_packed()), theirs.points_packed().numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours.num_points_per_cloud()),
+        theirs.num_points_per_cloud().numpy(),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours.cloud_to_packed_first_idx()),
+        theirs.cloud_to_packed_first_idx().numpy(),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours.packed_to_cloud_idx()),
+        theirs.packed_to_cloud_idx().numpy(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.get_features_padded("intensity")),
+        theirs.get_features_padded("intensity").numpy(),
+        atol=1e-6,
+    )
+
+    # indexing produces the same sub-batch
+    np.testing.assert_allclose(
+        np.asarray(ours[[0, 2]].points_padded()),
+        theirs[[0, 2]].points_padded().numpy(),
+        atol=1e-6,
+    )
+
+    # update_padded: same-shaped new points keep aux tensors; features not
+    # re-supplied are DROPPED (reference point_structure.py:1070-1098)
+    new_pad = np.asarray(ours.points_padded()) * 2.0
+    ours_u = ours.update_padded(jnp.asarray(new_pad))
+    theirs_u = theirs.update_padded(torch.from_numpy(new_pad))
+    np.testing.assert_allclose(
+        np.asarray(ours_u.points_padded()), theirs_u.points_padded().numpy(),
+        atol=1e-6,
+    )
+    assert (ours_u.get_features_padded("intensity") is None) == (
+        theirs_u.get_features_padded("intensity") is None
+    )
+
+
+def test_bounding_boxes_parity(ref_pc):
+    import torch
+
+    from pytorch3d_pointops_tpu import Pointclouds, get_bounding_boxes
+
+    rng = np.random.default_rng(6)
+    pts = [rng.standard_normal((s, 3)).astype(np.float32) for s in (9, 4)]
+    ours = get_bounding_boxes(Pointclouds([jnp.asarray(p) for p in pts]))
+    theirs = ref_pc.get_bounding_boxes(
+        ref_pc.Pointclouds(points=[torch.from_numpy(p) for p in pts])
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-6)
