@@ -254,10 +254,16 @@ def ball_query_forward_pallas(
     p2_t = jnp.swapaxes(p2, 1, 2)
     r2 = float(radius) * float(radius)
 
-    # No query can have more than min(K, P2) in-radius neighbors, so extra
-    # rounds past that are guaranteed no-op streams over p2.
-    rounds = max(1, -(-min(K, P2) // _ROUND_K))
-    Kc = K if rounds == 1 else _ROUND_K
+    # Per-round capacity is always capped at _ROUND_K: the kernel statically
+    # unrolls 2*Kc insertion sweeps, so an uncapped Kc = K (e.g. the
+    # reference default K=500 against a small cloud) would blow up the
+    # remote TPU compile.  No query can have more than min(K, P2) in-radius
+    # neighbors, so rounds past ceil(min(K, P2) / Kc) are guaranteed no-op
+    # streams over p2 and are skipped; when that leaves rounds*Kc < K the
+    # concatenated keys are inf-padded back to width K (pads become -1
+    # downstream).
+    Kc = min(K, _ROUND_K)
+    rounds = max(1, -(-min(K, P2) // Kc))
     lb = jnp.full((N, P1pad), -1.0, jnp.float32)
     outs = []
     for _r in range(rounds):
@@ -268,7 +274,14 @@ def ball_query_forward_pallas(
         # Next round admits only keys strictly above the largest found; an
         # exhausted query carries lb=inf so later rounds admit nothing.
         lb = keys[:, :, -1]
-    keys = outs[0] if rounds == 1 else jnp.concatenate(outs, axis=2)[:, :, :K]
+    keys = outs[0] if rounds == 1 else jnp.concatenate(outs, axis=2)
+    if keys.shape[2] < K:
+        keys = jnp.pad(
+            keys,
+            ((0, 0), (0, 0), (0, K - keys.shape[2])),
+            constant_values=_INF,
+        )
+    keys = keys[:, :, :K]
 
     keys = keys[:, :P1]
     return jnp.where(keys < _INF, keys.astype(jnp.int32), -1)

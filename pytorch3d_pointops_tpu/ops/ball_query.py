@@ -77,6 +77,12 @@ def _ball_query_forward(p1, p2, lengths1, lengths2, K, radius, impl="auto"):
             if jax.default_backend() == "tpu" and P2 < 2**24
             else "xla"
         )
+    elif impl == "pallas" and jax.default_backend() != "tpu":
+        raise ValueError(
+            "impl='pallas' requires a TPU backend (the ball-query Pallas "
+            f"kernel is a Mosaic TPU program; current backend: "
+            f"{jax.default_backend()!r}). Use impl='auto' or impl='xla'."
+        )
     if impl == "pallas":
         from ..kernels.ball_query_pallas import ball_query_forward_pallas
 

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..structures.pointclouds import Pointclouds
 from .knn import knn_gather, knn_points
@@ -117,6 +119,28 @@ def _chamfer_distance_single_direction(
         weights = jnp.asarray(weights)
         if weights.shape[0] != N:
             raise ValueError("weights must be of shape (N,).")
+        if not isinstance(weights, jax.core.Tracer):
+            # Data-dependent validation mirroring reference chamfer.py:123-130
+            # (possible only on concrete weights; under jit tracing these
+            # checks are skipped, as eager-torch semantics have no analog).
+            w_host = np.asarray(weights)
+            if (w_host < 0).any():
+                raise ValueError("weights cannot be negative.")
+            if float(w_host.sum()) == 0.0:
+                # Zero-sum early-out: all-zero losses with gradient flow to
+                # x preserved (reference chamfer.py:128-130).  The reference
+                # returns zeros with a degenerate (N, N) broadcast shape and
+                # a raw tensor in the features slot; we return the shapes
+                # the normal point-reduced path would produce ((N,) zeros,
+                # features dict keyed by feature_names) — scalar losses
+                # after batch reduction are identical (div = 1 on zero-sum).
+                z = x.sum((1, 2)) * weights * 0.0
+                zf = (
+                    {name: z for name in feature_names}
+                    if return_features
+                    else None
+                )
+                return z, zf
 
     x_nn = knn_points(
         x, y, lengths1=x_lengths, lengths2=y_lengths, norm=norm, K=1, impl=impl

@@ -234,6 +234,12 @@ def _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl):
     P2 = p2.shape[1]
     if impl == "auto":
         impl = _default_impl(norm)
+    elif impl == "pallas" and jax.default_backend() != "tpu":
+        raise ValueError(
+            "impl='pallas' requires a TPU backend (the KNN Pallas kernel is "
+            f"a Mosaic TPU program; current backend: "
+            f"{jax.default_backend()!r}). Use impl='auto' or impl='xla'."
+        )
     if impl == "pallas":
         try:
             from ..kernels.knn_pallas import knn_forward_pallas

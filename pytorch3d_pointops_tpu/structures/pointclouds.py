@@ -460,7 +460,7 @@ class Pointclouds:
     def get_cloud(self, index: int):
         if not isinstance(index, (int, np.integer)):
             raise ValueError("Cloud index must be an integer.")
-        if index < 0 or index > self._N:
+        if index < 0 or index >= self._N:
             raise ValueError("Cloud index must be in the range [0, N).")
         points = self.points_list()[index]
         features = {

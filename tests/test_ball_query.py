@@ -84,3 +84,12 @@ def test_ball_query_defaults_jit():
     p1, p2, _, _ = _clouds(jax.random.PRNGKey(1), N=1, P1=10, P2=10)
     out = jax.jit(lambda a, b: ball_query(a, b, K=4, radius=0.6).dists)(p1, p2)
     assert out.shape == (1, 10, 4)
+
+
+def test_ball_query_forced_pallas_off_tpu_raises():
+    """Forcing impl='pallas' on a non-TPU backend must raise a clear
+    ValueError, not an opaque Mosaic lowering failure (tests run on CPU)."""
+    p1 = jnp.zeros((1, 8, 3))
+    p2 = jnp.zeros((1, 8, 3))
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        ball_query(p1, p2, K=2, radius=0.5, impl="pallas")

@@ -69,6 +69,34 @@ def test_chamfer_weights():
     np.testing.assert_allclose(np.asarray(loss), ref, atol=1e-4, rtol=1e-4)
 
 
+def test_chamfer_negative_weights_raise():
+    x, y, l1, l2 = _clouds(jax.random.PRNGKey(30))
+    w = jnp.asarray([1.0, -0.5, 1.0])
+    with pytest.raises(ValueError, match="weights cannot be negative."):
+        chamfer_distance(x, y, l1, l2, weights=w)
+
+
+def test_chamfer_zero_sum_weights_early_out():
+    """weights summing to zero short-circuit to zero losses (reference
+    chamfer.py:128-130) with zero gradients; batch 'mean' divides by 1."""
+    x, y, l1, l2 = _clouds(jax.random.PRNGKey(31))
+    w = jnp.zeros((3,), jnp.float32)
+    loss, loss_f = chamfer_distance(x, y, l1, l2, weights=w)
+    assert float(loss) == 0.0
+    assert loss_f is None
+    # with features requested, the zero early-out still keys the dict
+    f1 = {"n": x}
+    f2 = {"n": y}
+    loss, loss_f = chamfer_distance(
+        x, y, l1, l2, x_features=f1, y_features=f2, weights=w,
+        feature_names=["n"],
+    )
+    assert float(loss) == 0.0
+    assert set(loss_f) == {"n"} and float(loss_f["n"]) == 0.0
+    g = jax.grad(lambda a: chamfer_distance(a, y, l1, l2, weights=w)[0])(x)
+    assert not np.asarray(g).any()
+
+
 def test_chamfer_identical_clouds_zero():
     x, _, l1, _ = _clouds(jax.random.PRNGKey(4))
     loss, _ = chamfer_distance(x, x, l1, l1)

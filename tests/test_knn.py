@@ -199,3 +199,12 @@ def test_knn_return_sorted_false_grads_flow():
     assert np.isfinite(np.asarray(g_unsorted)).all()
     assert np.abs(np.asarray(g_unsorted)).sum() > 0
     assert np.isfinite(np.asarray(g_sorted)).all()
+
+
+def test_knn_forced_pallas_off_tpu_raises():
+    """Forcing impl='pallas' on a non-TPU backend must raise a clear
+    ValueError, not an opaque Mosaic lowering failure (tests run on CPU)."""
+    p1 = jnp.zeros((1, 8, 3))
+    p2 = jnp.zeros((1, 8, 3))
+    with pytest.raises(ValueError, match="requires a TPU backend"):
+        knn_points(p1, p2, K=2, impl="pallas")

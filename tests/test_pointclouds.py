@@ -130,6 +130,20 @@ def test_clone_detach_extend_split_getcloud():
     np.testing.assert_array_equal(np.asarray(f["colors"]), np.asarray(feats["colors"][2]))
 
 
+def test_get_cloud_bounds():
+    """Reference contract (point_structure.py:938-943): index must be an
+    int in [0, N); both out-of-range ends raise ValueError, not IndexError."""
+    pts, feats = _ragged_clouds()
+    pc = Pointclouds(pts, features=feats)
+    N = len(pc)
+    for bad in (-1, N, N + 3):
+        with pytest.raises(ValueError, match="range"):
+            pc.get_cloud(bad)
+    with pytest.raises(ValueError):
+        pc.get_cloud(1.5)
+    pc.get_cloud(N - 1)  # last valid index is in-contract
+
+
 def test_offset_scale():
     pts, feats = _ragged_clouds()
     pc = Pointclouds(pts, features=feats)

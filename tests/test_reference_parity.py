@@ -259,6 +259,90 @@ def test_chamfer_parity_features_and_weights(ref):
     )
 
 
+def test_chamfer_parity_negative_weights_raise(ref):
+    """Reference chamfer.py:126-127 raises on any negative weight; the error
+    message is part of the user-visible contract."""
+    import torch
+
+    from pytorch3d_pointops_tpu import chamfer_distance
+
+    p1, p2, l1, l2 = _clouds(seed=15)
+    w = jnp.asarray([-1.0, 1.0], jnp.float32)
+    with pytest.raises(ValueError, match="weights cannot be negative."):
+        chamfer_distance(p1, p2, l1, l2, weights=w)
+    with pytest.raises(ValueError, match="weights cannot be negative."):
+        ref.chamfer.chamfer_distance(
+            _t(p1), _t(p2), x_lengths=_t(l1).long(), y_lengths=_t(l2).long(),
+            weights=_t(w),
+        )
+
+
+def test_chamfer_parity_zero_sum_weights(ref):
+    """Reference chamfer.py:128-130 early-returns zero losses when
+    weights.sum() == 0.  The reference's early-out returns zero tensors
+    with a degenerate (N, N) broadcast shape and a raw tensor in the
+    features slot — the bidirectional / batch-reduced paths then CRASH on
+    it (dict ops over a tensor), so the only executable reference config is
+    single_directional + batch_reduction=None.  We return normal
+    point-reduced shapes instead; parity bar: both sides all-zero losses
+    and exactly-zero gradients."""
+    import torch
+
+    from pytorch3d_pointops_tpu import chamfer_distance
+
+    p1, p2, l1, l2 = _clouds(seed=16)
+    w = jnp.zeros((2,), jnp.float32)
+    ours, ours_f = chamfer_distance(
+        p1, p2, l1, l2, weights=w,
+        single_directional=True, batch_reduction=None,
+    )
+    theirs, _ = ref.chamfer.chamfer_distance(
+        _t(p1), _t(p2), x_lengths=_t(l1).long(), y_lengths=_t(l2).long(),
+        weights=_t(w), single_directional=True, batch_reduction=None,
+    )
+    assert not np.asarray(ours).any() and ours.shape == (2,)
+    assert not theirs.numpy().any()
+    assert ours_f is None
+    # bidirectional mean works on OUR side (the sane contract) and is zero
+    ours_bi, _ = chamfer_distance(p1, p2, l1, l2, weights=w)
+    assert float(ours_bi) == 0.0
+
+    g = jax.grad(
+        lambda a: chamfer_distance(a, p2, l1, l2, weights=w)[0]
+    )(p1)
+    assert not np.asarray(g).any()
+    tp1 = _t(p1).requires_grad_(True)
+    loss, _ = ref.chamfer.chamfer_distance(
+        tp1, _t(p2), x_lengths=_t(l1).long(), y_lengths=_t(l2).long(),
+        weights=_t(w), single_directional=True, batch_reduction=None,
+    )
+    loss.sum().backward()
+    assert not tp1.grad.numpy().any()
+
+
+def test_chamfer_parity_weighted_point_reduction_none(ref):
+    """Un-reduced weighted terms: point_reduction=None returns the raw
+    per-point (N, P1)/(N, P2) losses scaled by the per-batch weights."""
+    from pytorch3d_pointops_tpu import chamfer_distance
+
+    p1, p2, l1, l2 = _clouds(seed=17)
+    w = jnp.asarray([0.25, 3.0], jnp.float32)
+    (ours_x, ours_y), _ = chamfer_distance(
+        p1, p2, l1, l2, weights=w,
+        point_reduction=None, batch_reduction=None,
+    )
+    (theirs_x, theirs_y), _ = ref.chamfer.chamfer_distance(
+        _t(p1), _t(p2), x_lengths=_t(l1).long(), y_lengths=_t(l2).long(),
+        weights=_t(w), point_reduction=None, batch_reduction=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_x), theirs_x.numpy(), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_y), theirs_y.numpy(), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_chamfer_parity_gradients(ref):
     """The BASELINE bar: chamfer GRADIENTS allclose to the reference."""
     import torch
