@@ -5,7 +5,8 @@ too large for one chip's HBM â€” or to parallelize the O(P1*P2) distance work â€
 query points p1 shard over a mesh axis while reference clouds p2 **rotate
 around the ring** via ``jax.lax.ppermute`` over ICI, each device merging every
 visiting shard into a running top-K (the point-cloud analog of ring
-attention; the merge is an associative concat+top_k, so the result is
+attention; the merge is an associative concat + two-key lexicographic sort
+on (distance, global index), so the result â€” including exact-tie order â€” is
 independent of hop order).
 
 Returned indices are **global** p2 indices (shard offset added per hop), so
@@ -83,15 +84,16 @@ def _ring_fwd_local(p1_loc, p2_loc, lengths2, K, norm, axis_name):
         len2_local = jnp.clip(lengths2 - offset, 0, P2l)
         vals, idx = _local_knn(p1_loc, y, len2_local, K, norm)
         idx = idx + offset
-        # Merge = concat + top_k: associative, so the result is hop-order
-        # independent except for exact-tie ordering (shards visit in ring
-        # order, not ascending index; exact float ties across shards may
-        # order differently than single-chip â€” same caveat as the
-        # reference's own CUDA-vs-CPU tie behavior).
+        # Merge = concat + two-key lexicographic sort on (dist, global idx):
+        # associative AND tie-exact â€” shards visit in ring order (not
+        # ascending index), so a value-only top_k would keep the earlier-
+        # VISITED shard on exact cross-shard ties instead of the lower
+        # global index; sorting with the index as the second key reproduces
+        # the single-chip first-seen-wins order bit-exactly.
         cand_d = jnp.concatenate([sd, vals], axis=2)
         cand_i = jnp.concatenate([si, idx], axis=2)
-        md, sel = _topk_small(cand_d, K)
-        mi = jnp.take_along_axis(cand_i, sel, axis=2)
+        md, mi = lax.sort((cand_d, cand_i), dimension=2, num_keys=2)
+        md, mi = md[..., :K], mi[..., :K]
         y_next = lax.ppermute(
             y, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
         )

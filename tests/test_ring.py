@@ -233,3 +233,50 @@ def test_ring_chamfer_validates_reductions():
         ring_chamfer_distance(
             x, x, batch_reduction="mean", point_reduction="bogus", mesh=mesh
         )
+
+
+def test_ring_knn_cross_shard_exact_ties(mesh):
+    """Duplicate points straddling shard boundaries: the lex (dist, index)
+    merge must keep the LOWEST global index on exact cross-shard ties,
+    bit-identical to single-chip.  Regression for the value-only top_k
+    merge, which kept the earlier-VISITED shard (e.g. for a device at ring
+    position my, duplicates in shards a < b <= my were visited b-first)."""
+    key = jax.random.PRNGKey(77)
+    P1, P2 = 64, 96  # 8 shards of 12 p2 points / 8 p1 rows per device
+    base = jax.random.normal(key, (1, P2, 3))
+    # duplicates across shard pairs covering a<b<=my and a<=my<b layouts:
+    # global idx 5 (shard 0) == 29 (shard 2) == 50 (shard 4); 17 == 89
+    p2 = base.at[:, 29].set(base[:, 5]).at[:, 50].set(base[:, 5])
+    p2 = p2.at[:, 89].set(p2[:, 17])
+    # queries AT the duplicated points so the tie is exact, spread over all
+    # devices (rows 0..63 shard 8 ways)
+    p1 = jnp.tile(p2[:, jnp.asarray([5, 29, 50, 17, 89, 5, 17, 50])], (1, 8, 1))
+    l1 = jnp.full((1,), P1, jnp.int32)
+    l2 = jnp.full((1,), P2, jnp.int32)
+    out_ring = ring_knn_points(p1, p2, l1, l2, K=8, mesh=mesh)
+    out_ref = knn_points(p1, p2, l1, l2, K=8)
+    np.testing.assert_array_equal(
+        np.asarray(out_ring.idx), np.asarray(out_ref.idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-6
+    )
+
+
+def test_ring_knn_quantized_tie_fuzz(mesh):
+    """Clouds drawn from a tiny discrete grid so exact distance ties abound
+    everywhere (within and across shards); index parity must stay exact."""
+    key = jax.random.PRNGKey(88)
+    k1, k2 = jax.random.split(key)
+    p1 = jax.random.randint(k1, (2, 32, 3), 0, 3).astype(jnp.float32)
+    p2 = jax.random.randint(k2, (2, 64, 3), 0, 3).astype(jnp.float32)
+    l1 = jnp.asarray([32, 20], jnp.int32)
+    l2 = jnp.asarray([64, 41], jnp.int32)
+    out_ring = ring_knn_points(p1, p2, l1, l2, K=10, mesh=mesh)
+    out_ref = knn_points(p1, p2, l1, l2, K=10)
+    np.testing.assert_array_equal(
+        np.asarray(out_ring.idx), np.asarray(out_ref.idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-6
+    )

@@ -82,3 +82,29 @@ def test_empty_bins_edge_case():
     weights = jnp.zeros((1, 8))
     out = np.asarray(sample_pdf(bins, weights, 16, det=True))
     assert (out >= 0.0).all() and (out <= 2.0).all()
+
+
+def test_sample_pdf_nondet_ks_vs_analytic_cdf():
+    """KS test: the empirical CDF of ``det=False`` samples must match the
+    piecewise-linear analytic CDF implied by (bins, weights).  Direct
+    reference parity is untestable by construction for the random path
+    (torch RNG != JAX RNG); this pins the distribution itself instead."""
+    bins = jnp.asarray([[0.0, 0.5, 2.0, 2.5, 4.0]])
+    weights = jnp.asarray([[0.15, 0.45, 0.1, 0.3]])
+    n = 50_000
+    out = np.sort(
+        np.asarray(
+            sample_pdf(bins, weights, n, det=False, key=jax.random.PRNGKey(11))
+        )[0]
+    )
+    b = np.asarray(bins, np.float64)[0]
+    w = np.asarray(weights, np.float64)[0]
+    w = w / w.sum()
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    idx = np.clip(np.searchsorted(b, out, side="right") - 1, 0, len(w) - 1)
+    cdf = cum[idx] + w[idx] * (out - b[idx]) / (b[idx + 1] - b[idx])
+    emp = (np.arange(n) + 0.5) / n
+    ks = np.abs(cdf - emp).max()
+    # KS critical value at alpha ~= 1e-3 is ~1.95/sqrt(n); allow slack for
+    # the kernel's eps-regularized total weight.
+    assert ks < 2.2 / np.sqrt(n), ks
