@@ -70,19 +70,41 @@ def main():
     results["dispatch_rtt_floor"] = {"ms": t_rtt * 1e3}
 
     # ---- config 1: 2-cloud batch (1000/800 pts, K=8) ----
+    # The op is far below the ~28 ms tunnel RTT, so a single dispatch is
+    # pure noise (round 2 measured ms_minus_rtt < 0).  Amortize: run R
+    # iterations inside ONE on-device lax.fori_loop — each iteration
+    # perturbs p1 so XLA cannot CSE the repeats — and report per-call
+    # latency with error bars across outer runs.
     p1 = jax.random.normal(jax.random.fold_in(k, 0), (2, 1000, 3))
     p2 = jax.random.normal(jax.random.fold_in(k, 1), (2, 1000, 3))
     l1 = jnp.asarray([1000, 800], jnp.int32)
     l2 = jnp.asarray([1000, 800], jnp.int32)
-    f = jax.jit(lambda a, b: knn_points(a, b, l1, l2, K=8).dists)
-    t = timeit_min(f, p1, p2)
-    t_net = t - t_rtt
+    R = 100
+
+    @jax.jit
+    def knn_small_rep(a, b):
+        def body(i, acc):
+            aa = a + 1e-6 * i.astype(jnp.float32)
+            d = knn_points(aa, b, l1, l2, K=8).dists
+            return acc + d[0, 0, 0]
+
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    _force(knn_small_rep(p1, p2))
+    per_call = []
+    for _ in range(5):
+        t0 = time.time()
+        _force(knn_small_rep(p1, p2))
+        per_call.append((time.time() - t0 - t_rtt) / R)
+    t1 = sorted(per_call)[len(per_call) // 2]  # median
+    spread = (max(per_call) - min(per_call)) / 2
     results["knn_small"] = {
-        "ms": t * 1e3,
-        "ms_minus_rtt": t_net * 1e3,
-        "queries_per_s": 1800 / t,
-        # Below ~0.5 ms the op is indistinguishable from dispatch noise.
-        "queries_per_s_minus_rtt": (1800 / t_net) if t_net > 5e-4 else None,
+        "per_call_ms": t1 * 1e3,
+        "per_call_ms_err": spread * 1e3,
+        "queries_per_s": 1800 / t1,
+        "repeat": R,
+        "note": "R on-device fori_loop iterations per dispatch; RTT "
+        "subtracted once and amortized 1/R",
     }
 
     # ---- config 2: PointNet++ grouping, batch=32 x 4k pts ----
