@@ -88,19 +88,41 @@ def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
     clouds go to the per-cloud sublane-dense kernel (VMEM-resident up to
     2M points); anything larger falls back to the XLA fori_loop.
     """
-    N, P = points.shape[0], points.shape[1]
+    N, P, D = points.shape
     if impl == "auto":
         impl = "xla"
         if jax.default_backend() == "tpu":
-            from ..kernels.fps_pallas import MAX_BATCHED_ELEMS, MAX_VMEM_POINTS
+            from ..kernels.fps_pallas import (
+                MAX_BATCHED_ELEMS,
+                MAX_CHUNKED_POINTS,
+                MAX_VMEM_POINTS,
+            )
 
             # Measured (scripts/tune_fps.py): batched wins for many small
             # clouds; past ~8k points/cloud the dense8 per-cloud kernel's
-            # packed layout wins even at batch 8.
-            if N >= 4 and P <= 8192 and N * P <= MAX_BATCHED_ELEMS:
+            # packed layout wins even at batch 8.  The VMEM caps were
+            # measured at D=3 — both kernels hold ~(D+1)*4 B/point — so
+            # scale them by (D+1)/4 so higher-D clouds near the limits fall
+            # back to XLA instead of failing TPU compilation opaquely.
+            # Past the dense8 cap the chunked kernel streams point slabs
+            # from HBM per round, keeping only 4 B/point (D-independent)
+            # resident — the XLA fori_loop fallback at that scale re-streams
+            # AND re-dispatches per round (7.6 s/1M pts vs 59 ms).
+            d_scale = (D + 1) / 4.0
+            if N >= 4 and P <= 8192 and N * P * d_scale <= MAX_BATCHED_ELEMS:
                 impl = "pallas_batched"
-            elif P <= MAX_VMEM_POINTS:
+            elif P * d_scale <= MAX_VMEM_POINTS:
                 impl = "pallas"
+            elif P <= MAX_CHUNKED_POINTS:
+                impl = "pallas_chunked"
+    elif impl in (
+        "pallas", "pallas_batched", "pallas_chunked"
+    ) and jax.default_backend() != "tpu":
+        raise ValueError(
+            f"impl={impl!r} requires a TPU backend (the FPS Pallas kernels "
+            f"are Mosaic TPU programs; current backend: "
+            f"{jax.default_backend()!r}). Use impl='auto' or impl='xla'."
+        )
     if impl == "pallas_batched":
         from ..kernels.fps_pallas import fps_pallas_batched
 
@@ -109,6 +131,10 @@ def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
         from ..kernels.fps_pallas import fps_pallas
 
         return fps_pallas(points, lengths, K_dev, start_idxs, max_K)
+    if impl == "pallas_chunked":
+        from ..kernels.fps_pallas import fps_pallas_chunked
+
+        return fps_pallas_chunked(points, lengths, K_dev, start_idxs, max_K)
     return jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, max_K))(
         points, lengths, K_dev, start_idxs
     )

@@ -50,6 +50,9 @@ def main():
         (8, 16384, 1024),
         (1, 131072, 2048),
         (1, 1_000_000, 2048),
+        # past the dense8 VMEM cap: the HBM-streaming chunked kernel
+        # (r3: 3M/K=2048 398 ms, 4M/K=2048 ~0.5 s; XLA extrapolates ~30 s)
+        (1, 4_194_304, 2048),
     ]
     for N, P, K in configs:
         pts = jax.random.normal(jax.random.PRNGKey(0), (N, P, 3), jnp.float32)
@@ -60,11 +63,15 @@ def main():
         vpu_floor = N * K * P * 4 / 4e12
         print(f"  floors: XLA-HBM ~{hbm_floor * 1e3:.1f} ms, "
               f"pallas-VPU ~{vpu_floor * 1e3:.1f} ms (+{RTT * 1e3:.0f} ms RTT)")
-        for impl in ("pallas_batched", "pallas", "xla"):
+        for impl in ("pallas_batched", "pallas", "pallas_chunked", "xla"):
             if impl == "pallas_batched" and (N < 4 or N * P > 4 * 1024 * 1024):
                 continue
-            if impl == "pallas" and P > 4 * 1024 * 1024:
+            if impl == "pallas" and P > 2 * 1024 * 1024:
                 continue
+            if impl == "pallas_chunked" and P < 500_000:
+                continue
+            if impl == "xla" and P > 2 * 1024 * 1024:
+                continue  # ~30 s+ per call at this scale; see 1M row
             try:
                 t = timeit(
                     lambda p, impl=impl: sample_farthest_points(

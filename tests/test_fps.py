@@ -111,3 +111,12 @@ def test_fps_jittable():
         np.asarray(f(pts, lengths)),
         np.asarray(sample_farthest_points(pts, lengths, 6)[1]),
     )
+
+
+def test_fps_forced_pallas_off_tpu_raises():
+    """Forcing either FPS Pallas kernel on a non-TPU backend must raise a
+    clear ValueError, not an opaque Mosaic lowering failure."""
+    pts = jnp.zeros((2, 16, 3))
+    for impl in ("pallas", "pallas_batched"):
+        with pytest.raises(ValueError, match="requires a TPU backend"):
+            sample_farthest_points(pts, K=4, impl=impl)

@@ -218,6 +218,57 @@ def test_ball_query_pallas_chained_rounds_large_k():
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
 
 
+def test_ball_query_pallas_k_exceeds_small_p2():
+    """K > _ROUND_K with _ROUND_K < P2 < K: chained rounds cover only
+    rounds*64 < K keys, so the output must be inf-padded back to width K
+    (advisor repro: K=200, P2=100 used to return a (N, P1, 128) idx)."""
+    from pytorch3d_pointops_tpu.kernels.ball_query_pallas import (
+        ball_query_forward_pallas,
+    )
+    from pytorch3d_pointops_tpu.ops.ball_query import _ball_query_forward
+
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(33), 2, 24, 100)
+    l1 = jnp.full((2,), 24, jnp.int32)
+    idx_pal = ball_query_forward_pallas(
+        p1, p2, l2, K=200, radius=2.0, tile_p1=16, tile_p2=64, interpret=True
+    )
+    assert idx_pal.shape == (2, 24, 200)
+    _, i_ref = _ball_query_forward(p1, p2, l1, l2, 200, 2.0, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
+
+
+def test_ball_query_pallas_large_k_tiny_p2_single_round():
+    """P2 <= _ROUND_K with a huge K (the reference default K=500 on a small
+    cloud) must still cap the per-round capacity at _ROUND_K — one 64-wide
+    round covers every possible neighbor, and the output is padded to K
+    (advisor: the uncapped Kc = K = 500 statically unrolled ~1000 insertion
+    sweeps and could OOM the remote TPU compiler)."""
+    from pytorch3d_pointops_tpu.kernels import ball_query_pallas as bqp
+    from pytorch3d_pointops_tpu.ops.ball_query import _ball_query_forward
+
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(34), 2, 16, 40)
+    l1 = jnp.full((2,), 16, jnp.int32)
+    rounds_seen = []
+    orig_round = bqp._bq_round
+
+    def counting_round(p1_, p2t_, len2_, lb_, Kc, *args, **kw):
+        rounds_seen.append(Kc)
+        return orig_round(p1_, p2t_, len2_, lb_, Kc, *args, **kw)
+
+    bqp._bq_round = counting_round
+    try:
+        idx_pal = bqp.ball_query_forward_pallas(
+            p1, p2, l2, K=500, radius=2.0, tile_p1=16, tile_p2=64,
+            interpret=True,
+        )
+    finally:
+        bqp._bq_round = orig_round
+    assert idx_pal.shape == (2, 16, 500)
+    assert rounds_seen == [bqp._ROUND_K]  # one round, capacity capped at 64
+    _, i_ref = _ball_query_forward(p1, p2, l1, l2, 500, 2.0, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
+
+
 def test_fps_pallas_batched_matches_xla():
     from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_batched
 
@@ -313,3 +364,36 @@ def test_knn_pallas_huge_finite_distances():
     d_r, i_r = _knn_forward_full(p1, p2, l1, l2, 8, 2)
     assert np.isfinite(np.asarray(d_r)).any()  # the band is actually hit
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+
+
+def test_fps_pallas_chunked_matches_xla():
+    """The HBM-streaming chunked FPS (clouds past the dense8 VMEM cap) must
+    reproduce exact index parity incl. cross-chunk argmax tie-breaks; small
+    chunk_points forces multiple chunks here."""
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_chunked
+
+    pts = jax.random.normal(jax.random.PRNGKey(8), (2, 3000, 3))
+    lengths = jnp.asarray([3000, 2100])
+    K = jnp.asarray([25, 13])
+    starts = jnp.asarray([0, 7])
+    idx_c = fps_pallas_chunked(
+        pts, lengths, K, starts, 25, chunk_points=1024, interpret=True
+    )
+    idx_x = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 25))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_c), np.asarray(idx_x))
+    # quantized coords: exact distance ties straddling chunk boundaries
+    ptsq = jax.random.randint(
+        jax.random.PRNGKey(9), (1, 2600, 3), 0, 4
+    ).astype(jnp.float32)
+    lq = jnp.asarray([2500])
+    Kq = jnp.asarray([40])
+    sq = jnp.asarray([3])
+    ic = fps_pallas_chunked(
+        ptsq, lq, Kq, sq, 40, chunk_points=1024, interpret=True
+    )
+    ix = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 40))(
+        ptsq, lq, Kq, sq
+    )
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ix))
