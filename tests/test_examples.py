@@ -14,7 +14,7 @@ EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
     "name",
     ["pointclouds_basics", "knn_and_chamfer", "sample_pdf_demo",
      "fps_and_ball_query", "covariances_demo", "packed_padded_walkthrough",
-     "performance"],
+     "performance", "ring_parallel"],
 )
 def test_example_runs(name):
     path = os.path.join(EXAMPLES, f"{name}.py")
