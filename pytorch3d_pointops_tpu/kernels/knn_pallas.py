@@ -1,7 +1,8 @@
 """Pallas TPU kernel for brute-force KNN with streaming top-K selection.
 
 The TPU-native replacement for the reference's four CUDA kernel variants
-(csrc/knn/knn.cu:28-312).  Round-2 design — TRANSPOSED, MULTI-CHAIN:
+(csrc/knn/knn.cu:28-312).  Round-3 design — TRANSPOSED, MULTI-CHAIN,
+scratch-free screening with an exact phase-2 collision gate:
 
 * Grid ``(N, P1/(C*W), P2/T2)``, P2 innermost.  Each program computes a
   (T2, C*W) distance tile — candidate points on sublanes, queries on the
@@ -19,8 +20,18 @@ The TPU-native replacement for the reference's four CUDA kernel variants
   work); C independent chains amortize the per-tile scalar syncs over C*W
   queries while giving the VLIW scheduler independent chains to interleave.
   Measured on v5e at N=M=100k/K=16: r1 547k -> transposed 677k -> 4-chain
-  745-769k queries/s.  8+ chains regress (385k); so do wider single chains
-  (1x512: 382k).
+  745-769k -> r2 lite screen 809k -> r3 (no dw scratch + collision gate +
+  8x128 @ T2=1024) 849k queries/s.  Mosaic collapses ~2x whenever the
+  distance tile exceeds ~1M ELEMENTS ((2048, 1024), (4096, 512) and
+  (1024, 1536) all cliff; (1024, 1024), (2048, 512), (512, 2048) are
+  fine) — the r3 shape change rides that boundary at 8 chains.
+
+* NO screened-distance scratch (r3): the (T2, W) per-chain ``dw`` buffers
+  were pure re-materialization — one masked store per chain per winning
+  tile plus 2x tile footprint; every later read is reproduced by a single
+  select over the live distance tile (``dw_val``).  Phase-2 extraction,
+  which previously mutated dw, walks survivors in (value, row) lex order
+  with a (1, W) watermark instead.
 
 * Top-K merge is threshold-screened and fold-batched per chain: the sorted
   state's last row is the kth-smallest distance seen so far; candidates
@@ -42,11 +53,15 @@ The TPU-native replacement for the reference's four CUDA kernel variants
 
 * Same-group SECOND winners (phase 1 retires at most one entry per fold
   group) are caught by per-group (value, row) watermarks + one full-width
-  fallback pass per chain.  The survivor screen admits value TIES with the
-  new kth (<=, with an inf kth transformed to f32 max so finite distances
-  always stay admissible) so a shadowed tie with a lower global index can
-  still displace an equal-valued phase-1 insert; the lexicographic insert
-  rejects higher-index ties via pos == K.
+  fallback pass per chain — but the whole fallback is SKIPPED by an exact
+  collision gate (r3): a lane must admit more candidates than distinct
+  fold groups (cnt > ng, both already computed) for phase 1 to leave
+  anything behind; clean tiles (simulated 20-75% depending on stream
+  position and GF) never pay the survivor screen.  The survivor screen
+  admits value TIES with the new kth (<=, with an inf kth transformed to
+  f32 max so finite distances always stay admissible) so a shadowed tie
+  with a lower global index can still displace an equal-valued phase-1
+  insert; the lexicographic insert rejects higher-index ties via pos == K.
 
 * ``lengths2`` ragged masking happens in-kernel from an SMEM scalar;
   lengths1/row masking is applied by the caller (ops/knn.py
@@ -77,10 +92,13 @@ Array = jnp.ndarray
 
 _INF = float("inf")  # plain float: jnp constants would init backends at import
 
-# Tuned on TPU v5e (scripts/knn_r2_dualchain.py, N=M=100k K=16): 745k q/s at
-# 4 chains x 128 lanes, T2=2048, GF=64.
-DEFAULT_TILE_P1 = 512
-DEFAULT_TILE_P2 = 2048
+# Tuned on TPU v5e (scripts/knn_r3.py, N=M=100k K=16): 849k q/s at
+# 8 chains x 128 lanes, T2=1024, GF=64 with the collision gate and no dw
+# scratch (r2 shipped 4x128/T2=2048/809k).  T2=1024 wins once the dw
+# rewrite is gone: smaller tiles admit/collide less, and the d_all
+# element-count cliff (> 1M elements collapses ~2x) permits 8 chains.
+DEFAULT_TILE_P1 = 1024
+DEFAULT_TILE_P2 = 1024
 _CHAIN_WIDTH = 128
 _KNN_FOLD_FLOOR = 64
 
@@ -98,7 +116,7 @@ def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
     p2_ref,  # VMEM (1, T2, D) — candidates natural
-    *refs,  # C x (out_d (1,K,W), out_i) then C x (dw, af, ai, wm, wml)
+    *refs,  # C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
     K: int,
     norm: int,
     tile_p2: int,
@@ -111,11 +129,10 @@ def _knn_kernel(
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
     scratch = refs[2 * C :]
-    dw = scratch[0::5]
-    af = scratch[1::5]
-    ai = scratch[2::5]
-    wm = scratch[3::5]
-    wml = scratch[4::5]
+    af = scratch[0::4]
+    ai = scratch[1::4]
+    wm = scratch[2::4]
+    wml = scratch[3::4]
 
     @pl.when(j == 0)
     def _():
@@ -173,14 +190,14 @@ def _knn_kernel(
     # Admission screen per chain: each sorted state's last row is that
     # chain's kth-smallest so far.  Strict < matches MinK's replace-max
     # test (first-seen wins on exact ties, mink.cuh:70).
-    ds = []
+    slices = []
     wins = []
     cnts = []
     for c in range(C):
-        d_c = jnp.where(rmask, d_all[:, c * W : (c + 1) * W], _INF)
-        ds.append(d_c)
+        d_c = d_all[:, c * W : (c + 1) * W]
+        slices.append(d_c)
         thresh = out_d[c][0][K - 1][None, :]
-        win = d_c < thresh
+        win = (d_c < thresh) & rmask
         wins.append(win)
         cnts.append(jnp.sum(win.astype(jnp.int32), axis=0))
     maxc = jnp.minimum(
@@ -216,22 +233,38 @@ def _knn_kernel(
             krow < pos, sti, jnp.where(krow == pos, gb, si)
         )
 
+    def dw_val(c):
+        """Screened distances, recomputed from the live distance tile —
+        round 3 removed the (T2, W) dw scratch refs entirely: materializing
+        them cost a masked store per chain per winning tile and kept tile
+        footprint at 2x d_all (win implies the rmask, so one select
+        reproduces the buffer exactly)."""
+        return jnp.where(wins[c], slices[c], _INF)
+
     @pl.when(maxc > 0)
     def _():
         # Phase 1 — folded extraction per chain: fold the survivors to
         # per-stride-group minima (GF, W) with sublane-halving minimum
         # chains and sweep the small buffers; rows recovered via one-hot
         # compare + a second minimum fold of masked f32 row ids.
+        fire_terms = []
         for c in range(C):
-            dw[c][...] = jnp.where(wins[c], ds[c], _INF)
-            h = dw[c][...]
+            h = dw_val(c)
             for _f in range(n_folds):
                 half = h.shape[0] // 2
                 h = jnp.minimum(h[:half], h[half:])
             af[c][...] = h
+            # Exact same-group collision detector (round 3): phase 2 can
+            # only have work if some lane admitted MORE candidates than
+            # distinct fold groups (cnt > ng).  Collision-free lanes with
+            # cnt > K are also safe — extraction is globally ascending, so
+            # the K smallest were taken and the rest sit at or above the
+            # new kth.  Skips the whole survivor screen on clean tiles.
+            ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
+            fire_terms.append(jnp.max(cnts[c] - ng))
             if n_folds > 0:
                 gm_b = jnp.concatenate([h] * reps, axis=0)
-                rv = jnp.where(dw[c][...] == gm_b, row_f, 3e38)
+                rv = jnp.where(dw_val(c) == gm_b, row_f, 3e38)
                 for _f in range(n_folds):
                     half = rv.shape[0] // 2
                     rv = jnp.minimum(rv[:half], rv[half:])
@@ -267,57 +300,77 @@ def _knn_kernel(
 
         if n_folds > 0:
             # Phase 2 — fallback for same-group SECOND winners (phase 1
-            # retires at most one element per fold group): per-group
-            # (value, row) watermarks identify survivors; the classic
-            # full-width extraction finishes them.  Lex insertion keeps
-            # the final order phase-independent.  Admit VALUE TIES with
-            # the new kth (<=, not <): a shadowed same-group tie with a
-            # LOWER global index than an equal-valued phase-1 insert must
-            # still displace it (first-seen-wins); the lexicographic
-            # insert rejects higher-index ties via pos == K, and
-            # extraction retires lowest-(value, row) first, so K sweeps
+            # retires at most one element per fold group), skipped outright
+            # when the collision detector proves no lane left anything
+            # behind (fires on ~25-80% of winning tiles depending on
+            # stream position).  When fired: per-group (value, row)
+            # watermarks identify survivors; extraction walks them in
+            # (value, row) lex order tracked by a (1, W) watermark instead
+            # of mutating a buffer (there is no dw scratch to clear).  Lex
+            # insertion keeps the final order phase-independent.  Admit
+            # VALUE TIES with the new kth (<=, not <): a shadowed
+            # same-group tie with a LOWER global index than an equal-valued
+            # phase-1 insert must still displace it (first-seen-wins); the
+            # lexicographic insert rejects higher-index ties via pos == K,
+            # and extraction retires lowest-(value, row) first, so K sweeps
             # suffice.  Replacing an inf t_new by f32-max keeps masked /
             # non-admitted (inf) lanes out while every finite distance
             # stays admissible — exact, and only a (1, W) op.
-            survs = []
-            m2s = []
-            for c in range(C):
-                t_new = out_d[c][0][K - 1][None, :]
-                wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
-                wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
-                dwv = dw[c][...]
-                # Exact inf-exclusion with no full-width temp: transform
-                # the (1, W) threshold instead of screening the tile — an
-                # unfull state (t_new == inf) admits every FINITE distance
-                # (up to f32 max) and nothing else.
-                f32max = float(jnp.finfo(jnp.float32).max)
-                thr = jnp.where(t_new == _INF, f32max, t_new)
-                # 3-op lex screen: "lex(dwv,row) > lex(wm,wml)" collapses to
-                # "dwv >= wm and row != wml" because a tie candidate with a
-                # LOWER row than the extracted watermark cannot exist —
-                # extraction retires lowest-(value, row) first.  Measured
-                # +5% over the 5-op form (762k -> 798k q/s).
-                surv = (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
-                survs.append(surv)
-                m2s.append(jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)))
-            maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)
-
-            @pl.when(maxc2 > 0)
+            @pl.when(functools.reduce(jnp.maximum, fire_terms) > 0)
             def _():
+                survs = []
+                m2s = []
                 for c in range(C):
-                    dw[c][...] = jnp.where(survs[c], dw[c][...], _INF)
-                for k in range(K):
+                    t_new = out_d[c][0][K - 1][None, :]
+                    wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
+                    wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
+                    dwv = dw_val(c)
+                    f32max = float(jnp.finfo(jnp.float32).max)
+                    thr = jnp.where(t_new == _INF, f32max, t_new)
+                    # 3-op lex screen: "lex(dwv,row) > lex(wm,wml)"
+                    # collapses to "dwv >= wm and row != wml" because a tie
+                    # candidate with a LOWER row than the extracted
+                    # watermark cannot exist — extraction retires
+                    # lowest-(value, row) first.  Measured +5% over the
+                    # 5-op form (762k -> 798k q/s).
+                    surv = (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
+                    survs.append(surv)
+                    m2s.append(
+                        jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0))
+                    )
+                maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)
 
-                    @pl.when(k < maxc2)
-                    def _(k=k):
-                        for c in range(C):
-                            dwc = dw[c][...]
-                            m = jnp.min(dwc, axis=0)
-                            am = jnp.argmin(dwc, axis=0).astype(jnp.int32)
-                            insert(c, m, j * tile_p2 + am)
-                            dw[c][...] = jnp.where(
-                                row == am[None, :], _INF, dwc
-                            )
+                @pl.when(maxc2 > 0)
+                def _():
+                    # The (GF, W) wm/wml refs are dead after the survivor
+                    # screen — reuse their row 0 as the lex watermark
+                    # (pl.when regions can't carry values across sweeps).
+                    for c in range(C):
+                        wm[c][0:1] = jnp.full((1, W), -_INF, jnp.float32)
+                        wml[c][0:1] = jnp.full((1, W), -1.0, jnp.float32)
+                    for k in range(K):
+
+                        @pl.when(k < maxc2)
+                        def _(k=k):
+                            for c in range(C):
+                                dwc = jnp.where(survs[c], dw_val(c), _INF)
+                                lv = wm[c][0:1]
+                                lr = wml[c][0:1]
+                                live = (dwc > lv) | (
+                                    (dwc == lv) & (row_f > lr)
+                                )
+                                dvx = jnp.where(live, dwc, _INF)
+                                m = jnp.min(dvx, axis=0)
+                                am_f = jnp.min(
+                                    jnp.where(
+                                        dvx == m[None, :], row_f, 3e38
+                                    ),
+                                    axis=0,
+                                )
+                                am = am_f.astype(jnp.int32)
+                                insert(c, m, j * tile_p2 + am)
+                                wm[c][0:1] = m[None, :]
+                                wml[c][0:1] = am_f[None, :]
 
 
 @functools.partial(
@@ -394,7 +447,6 @@ def knn_forward_pallas(
     scratch = []
     for _c in range(chains):
         scratch += [
-            pltpu.VMEM((tile_p2, width), jnp.float32),
             pltpu.VMEM((gf, width), jnp.float32),
             pltpu.VMEM((gf, width), jnp.float32),
             pltpu.VMEM((gf, width), jnp.float32),

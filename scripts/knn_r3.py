@@ -49,6 +49,7 @@ def _kernel(
     width: int,
     nodw: bool,
     p2gate: bool,
+    cgate: bool,
     stop: str,
 ):
     j = pl.program_id(2)
@@ -113,7 +114,7 @@ def _kernel(
     if stop == "screen":
         for c in range(C):
             out_d[c][0, 0] = jnp.minimum(
-                out_d[c][0, 0], cnts[c].astype(jnp.float32)[None, :]
+                out_d[c][0, 0], cnts[c].astype(jnp.float32)
             )
         return
 
@@ -150,6 +151,7 @@ def _kernel(
 
     @pl.when(maxc > 0)
     def _():
+        fire_terms = []
         for c in range(C):
             if not nodw:
                 dw[c][...] = jnp.where(wins[c], slices[c], _INF)
@@ -158,6 +160,15 @@ def _kernel(
                 half = h.shape[0] // 2
                 h = jnp.minimum(h[:half], h[half:])
             af[c][...] = h
+            if cgate:
+                # Exact same-group collision detector: a lane needs MORE
+                # admissions than distinct admitted groups for phase 1 to
+                # leave anything behind.  Collision-free lanes with
+                # cnt > K are also safe: extraction is globally ascending,
+                # so the K smallest were taken and the rest sit at or
+                # above the new kth.
+                ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
+                fire_terms.append(jnp.max(cnts[c] - ng))
             gm_b = jnp.concatenate([h] * reps, axis=0)
             rv = jnp.where(dw_val(c) == gm_b, row_f, 3e38)
             for _f in range(n_folds):
@@ -189,7 +200,12 @@ def _kernel(
         if stop == "nophase2":
             return
 
-        p2_pred = maxc >= 2 if p2gate else maxc > 0
+        if cgate:
+            p2_pred = functools.reduce(jnp.maximum, fire_terms) > 0
+        elif p2gate:
+            p2_pred = maxc >= 2
+        else:
+            p2_pred = maxc > 0
 
         @pl.when(p2_pred)
         def _():
@@ -263,11 +279,11 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("K", "tile_p2", "gf", "chains", "width", "nodw",
-                     "p2gate", "stop", "interpret"),
+                     "p2gate", "cgate", "stop", "interpret"),
 )
 def knn_r3(
     p1, p2, lengths2, K, tile_p2=2048, gf=64, chains=4, width=128,
-    nodw=False, p2gate=False, stop="full", interpret=False,
+    nodw=False, p2gate=False, cgate=False, stop="full", interpret=False,
 ):
     N, P1, D = p1.shape
     P2 = p2.shape[1]
@@ -283,7 +299,7 @@ def knn_r3(
     grid = (N, nb, P2pad // tile_p2)
     kernel = functools.partial(
         _kernel, K=K, tile_p2=tile_p2, gf=gf, chains=chains, width=width,
-        nodw=nodw, p2gate=p2gate, stop=stop,
+        nodw=nodw, p2gate=p2gate, cgate=cgate, stop=stop,
     )
     out_specs = []
     out_shapes = []
@@ -388,18 +404,28 @@ if __name__ == "__main__":
     p1 = jax.random.normal(k1, (1, P, 3), jnp.float32)
     p2 = jax.random.normal(k2, (1, P, 3), jnp.float32)
     lengths = jnp.asarray([P], jnp.int32)
-    # Round A found: the cliff tracks the (T2=2048, CW=1024) tile shape,
-    # not footprint (nodw C=8 T2=2048 still 432k; dw C=8 T2=1024 746k;
-    # nodw neutral at C=4).  Round B: map the T2=1024 regime.
+    # Round A/B: the cliff tracks distance-tile ELEMENT COUNT (> 1M
+    # elements collapse: (2048,1024) 2M bad, (1024,1536) bad; (1024,1024),
+    # (512,2048), (2048,512) fine), and at constant tile area more chains
+    # do NOT win (8x128@1024 741-745k, 16x128@512 725k, 4x128@2048 771k
+    # same-session control).  Round C: the exact collision gate — skip the
+    # always-on phase-2 survivor screen when no lane has two admissions in
+    # one fold group (cnt > ng), detectable from already-computed counts.
+    # Round C: cgate alone +0.5%; cgate+gf256 hits the footprint cliff
+    # (460k — the extra (256,128) buffers cross ~8 MB); cgate+nodw 827.9k
+    # (+7.5% over same-session control 770k).  Round D: tune the winner.
+    # Round D: nodw is the main gain (+6% vs control), cgate adds +1-2.5%;
+    # T2=4096 re-confirms the cliff is d_all > 1M ELEMENTS regardless of
+    # scratch; T2=1024 now WINS with nodw+cgate (839k) — smaller tiles cost
+    # less without the dw rewrite and collide less.  Round E: T2/gf/chain
+    # interactions at the new optimum.
     configs = [
-        dict(chains=8, width=128, nodw=False, tile_p2=1024),  # retime clean
-        dict(chains=8, width=128, nodw=True, tile_p2=1024),
-        dict(chains=8, width=128, nodw=False, tile_p2=1024, gf=32),
-        dict(chains=8, width=128, nodw=False, tile_p2=1024, gf=128),
-        dict(chains=12, width=128, nodw=False, tile_p2=1024),
-        dict(chains=16, width=128, nodw=False, tile_p2=512),
-        dict(chains=4, width=256, nodw=False, tile_p2=1024),
-        dict(chains=4, width=128, nodw=False),            # r2 ship control
+        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024, gf=128),
+        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=512),
+        dict(chains=8, width=128, cgate=True, nodw=True, tile_p2=1024),
+        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024, gf=32),
+        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=512, gf=128),
+        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024),  # ctl
     ]
     if quick:
         configs = configs[:3]

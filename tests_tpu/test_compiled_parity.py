@@ -168,3 +168,36 @@ def test_knn_compiled_high_dim_mxu():
         np.asarray(d_pal), np.asarray(d_ref), atol=1e-4, rtol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_fps_chunked_compiled():
+    """Compiled chunked FPS (multi-chunk grid, double-buffered partials)
+    vs the XLA oracle, incl. a non-zero start index."""
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_chunked
+
+    pts = jax.random.normal(jax.random.PRNGKey(31), (2, 3000, 3))
+    lengths = jnp.asarray([3000, 2100])
+    K = jnp.asarray([25, 13])
+    starts = jnp.asarray([0, 1500])
+    idx_c = fps_pallas_chunked(pts, lengths, K, starts, 25, chunk_points=1024)
+    idx_x = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 25))(
+        pts, lengths, K, starts
+    )
+    np.testing.assert_array_equal(np.asarray(idx_c), np.asarray(idx_x))
+
+
+def test_ball_query_compiled_k_exceeds_small_p2():
+    """Compiled chained ball query where rounds*64 < K (advisor repro:
+    K=200 vs P2=100) — output must be padded to width K and match XLA.
+    Production-default tiles: TPU lowering requires the lane-dim block to
+    be 128-divisible or equal to the array dim, so tiny tile_p2 overrides
+    that are legal in interpret mode do not lower here."""
+    p1, p2 = _clouds(32, 2, 24, 100)
+    l1 = jnp.full((2,), 24, jnp.int32)
+    l2 = jnp.asarray([100, 65], jnp.int32)
+    idx_pal = ball_query_forward_pallas(p1, p2, l2, K=200, radius=2.0)
+    assert idx_pal.shape == (2, 24, 200)
+    iv = jnp.arange(24, dtype=jnp.int32)[None, :] < l1[:, None]
+    idx_pal = jnp.where(iv[..., None], idx_pal, -1)
+    _, i_ref = _ball_query_forward(p1, p2, l1, l2, 200, 2.0, impl="xla")
+    np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
