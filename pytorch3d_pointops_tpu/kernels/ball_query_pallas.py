@@ -37,11 +37,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .knn_pallas import DEFAULT_TILE_P1, DEFAULT_TILE_P2, _fold_width
+from .knn_pallas import _fold_width
 
 Array = jnp.ndarray
 
 _INF = float("inf")
+
+# Tuned for THIS kernel on v5e (r2): its (T1, T2) distance tile and
+# screened-key scratch differ from the KNN kernel's chained layout, so it
+# does NOT track knn_pallas's defaults (which moved to 1024/1024 in r3).
+DEFAULT_TILE_P1 = 512
+DEFAULT_TILE_P2 = 2048
 
 # Per-round top-K capacity: beyond this the statically-unrolled extraction
 # sweeps stop paying for themselves; larger user K chains rounds instead.

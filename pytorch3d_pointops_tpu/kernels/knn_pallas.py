@@ -403,6 +403,14 @@ def knn_forward_pallas(
     P2 = p2.shape[1]
     tile_p1 = min(tile_p1, max(8, P1))
     tile_p2 = min(tile_p2, max(8, P2))
+    if tile_p1 >= 2 * _CHAIN_WIDTH:
+        # Prefer a multi-chain tile (wide single chains measured ~2x
+        # slower) but never at more than ~12.5% query-padding waste —
+        # e.g. P1=1000 picks 4x128 (pad to 1024), P1>=8k picks 8x128.
+        for cand in (1024, 512, 384, 256, 128):
+            if cand <= tile_p1 and (-(-P1 // cand) * cand) <= 1.125 * P1:
+                tile_p1 = cand
+                break
     if tile_p1 % _CHAIN_WIDTH == 0:
         chains, width = tile_p1 // _CHAIN_WIDTH, _CHAIN_WIDTH
     else:
