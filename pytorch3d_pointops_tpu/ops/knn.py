@@ -234,6 +234,15 @@ def _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl):
     P2 = p2.shape[1]
     if impl == "auto":
         impl = _default_impl(norm)
+        # The Pallas kernel statically unrolls up to 2*K extraction sweeps
+        # per phase; past K=64 remote TPU compiles blow up (20-200 s/shape,
+        # compiler OOM risk) and the sweep unrolling stops paying for
+        # itself — same economics as the ball-query kernel's 64-key round
+        # cap.  Auto falls back to the tiled XLA streaming path; a forced
+        # impl="pallas" still honors the caller.
+        if impl == "pallas" and K > 64:
+            logger.info("knn_points auto: K=%d > 64, using the XLA path", K)
+            impl = "xla"
     elif impl == "pallas" and jax.default_backend() != "tpu":
         raise ValueError(
             "impl='pallas' requires a TPU backend (the KNN Pallas kernel is "

@@ -208,3 +208,24 @@ def test_knn_forced_pallas_off_tpu_raises():
     p2 = jnp.zeros((1, 8, 3))
     with pytest.raises(ValueError, match="requires a TPU backend"):
         knn_points(p1, p2, K=2, impl="pallas")
+
+
+def test_knn_auto_dispatch_large_k_uses_xla(monkeypatch):
+    """Auto dispatch must not send K > 64 to the Pallas kernel (its
+    statically-unrolled sweeps would blow up the TPU compile); the forced
+    impl='pallas' escape hatch stays with the caller."""
+    from pytorch3d_pointops_tpu.ops import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "_default_impl", lambda norm: "pallas")
+    calls = {}
+    orig = knn_mod._knn_forward_full
+
+    def spy(*a, **k):
+        calls["xla"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(knn_mod, "_knn_forward_full", spy)
+    p1 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 3))
+    p2 = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
+    out = knn_mod.knn_points(p1, p2, K=100, impl="auto")
+    assert calls.get("xla") and out.idx.shape == (1, 32, 100)
