@@ -3,13 +3,23 @@ north-star config (N=M=100k points, K=16, single cloud) on one chip.
 
 Prints ONE JSON line:
   {"metric": "knn_100k_k16_queries_per_s", "value": <qps>,
-   "unit": "queries/s", "vs_baseline": <pallas_vs_xla_speedup>}
+   "unit": "queries/s", "vs_baseline": <pallas_vs_xla_speedup>, ...}
+
+``value`` is per-call throughput with the op repeated R=5 times inside one
+on-device ``lax.fori_loop`` (inputs perturbed per iteration so XLA cannot
+CSE the repeats).  On this host the chip is reached through the axon
+tunnel, whose ~29 ms dispatch round-trip is a dev-harness artifact, not
+chip cost — a single-dispatch timing charges it all to the op (the
+round-2 review prescribed exactly this amortization for the small
+config).  ``single_dispatch_qps`` reports the unamortized number
+alongside for transparency.
 
 ``vs_baseline`` is the speedup of the Pallas streaming kernel over the
 XLA-compiled tiled implementation of the same op on the same chip (the
-reference publishes no numbers — BASELINE.md:3 — so the measured XLA program
-is the baseline the kernel must beat).  Run with BENCH_QUICK=1 for a smaller
-problem on CPU-only machines.
+reference publishes no numbers — BASELINE.md:3 — so the measured XLA
+program is the baseline the kernel must beat; at ~4.5 s/call the RTT is
+<1% for the XLA side, so it is timed single-dispatch).  Run with
+BENCH_QUICK=1 for a smaller problem on CPU-only machines.
 """
 
 import json
@@ -17,10 +27,9 @@ import os
 import time
 
 
-def _time(fn, *args, iters=5):
-    """Min over runs: the tunnel dispatch RTT is ~28 ms with high variance,
-    so the mean over-reports op cost; min is the robust throughput
-    estimator (same policy as scripts/bench_all.py timeit_min)."""
+def _time_min(fn, *args, iters=5):
+    """Min over runs: the tunnel dispatch RTT is ~29 ms with high variance,
+    so the mean over-reports; min is the robust estimator."""
     out = fn(*args)
     _ = float(jax.tree_util.tree_leaves(out)[0].sum())  # force through tunnel
     best = float("inf")
@@ -43,6 +52,7 @@ if __name__ == "__main__":
     quick = os.environ.get("BENCH_QUICK") == "1" or not on_tpu
     P = 20_000 if quick else 100_000
     K = 16
+    R = 2 if quick else 5
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     p1 = jax.random.normal(k1, (1, P, 3), jnp.float32)
@@ -52,18 +62,30 @@ if __name__ == "__main__":
     xla_fn = jax.jit(
         lambda a, b: knn_mod._knn_forward_tiled(a, b, lengths, lengths, K, 2)[0]
     )
-    iters = 1 if quick else 5
-    t_xla = _time(xla_fn, p1, p2, iters=iters)
+    t_xla = _time_min(xla_fn, p1, p2, iters=1 if quick else 3)
 
     if on_tpu:
-        def pallas_fn(a, b):
-            return knn_forward_pallas(a, b, lengths, K=K)[0]
 
-        t_pallas = _time(pallas_fn, p1, p2, iters=iters)
+        @jax.jit
+        def pallas_rep(a, b):
+            def body(i, acc):
+                aa = a + 1e-6 * i.astype(jnp.float32)
+                d, idx = knn_forward_pallas(aa, b, lengths, K)
+                return acc + d[0, 0, 0] + idx[0, 0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+        t_pallas = _time_min(pallas_rep, p1, p2) / R
+
+        def pallas_one(a, b):
+            return knn_forward_pallas(a, b, lengths, K)[0]
+
+        t_single = _time_min(pallas_one, p1, p2)
     else:
         # Interpret-mode Pallas is a Python-per-grid-step simulator — not a
         # performance path; report the XLA program on non-TPU hosts.
         t_pallas = t_xla
+        t_single = t_xla
 
     qps = P / t_pallas
     print(
@@ -73,6 +95,9 @@ if __name__ == "__main__":
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(t_xla / t_pallas, 3),
+                "per_call_ms": round(t_pallas * 1e3, 2),
+                "repeat": R,
+                "single_dispatch_qps": round(P / t_single, 1),
             }
         )
     )
