@@ -200,6 +200,51 @@ def _kernel(
         if stop == "nophase2":
             return
 
+        if cgate == "perchain":
+            # Per-chain firing: when a single lane collides only ITS chain
+            # pays the survivor screen + extraction; regions for the other
+            # chains are skipped entirely (each chain's ladder is short,
+            # so losing cross-chain interleave costs little on the rare
+            # multi-chain fires).
+            assert nodw
+            for c in range(C):
+
+                @pl.when(fire_terms[c] > 0)
+                def _(c=c):
+                    t_new = out_d[c][0][K - 1][None, :]
+                    f32max = float(jnp.finfo(jnp.float32).max)
+                    thr = jnp.where(t_new == _INF, f32max, t_new)
+                    wm_b = jnp.concatenate([wm[c][...]] * reps, axis=0)
+                    wml_b = jnp.concatenate([wml[c][...]] * reps, axis=0)
+                    dwv0 = dw_val(c)
+                    surv = (dwv0 <= thr) & (dwv0 >= wm_b) & (row_f != wml_b)
+                    maxc2 = jnp.minimum(
+                        jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0)), K
+                    )
+                    wm[c][0:1] = jnp.full((1, W), -_INF, jnp.float32)
+                    wml[c][0:1] = jnp.full((1, W), -1.0, jnp.float32)
+                    for k in range(K):
+
+                        @pl.when(k < maxc2)
+                        def _(k=k):
+                            dwv = jnp.where(surv, dw_val(c), _INF)
+                            lv = wm[c][0:1]
+                            lr = wml[c][0:1]
+                            live = (dwv > lv) | (
+                                (dwv == lv) & (row_f > lr)
+                            )
+                            dvx = jnp.where(live, dwv, _INF)
+                            m = jnp.min(dvx, axis=0)
+                            rvx = jnp.where(
+                                dvx == m[None, :], row_f, 3e38
+                            )
+                            am_f = jnp.min(rvx, axis=0)
+                            am = am_f.astype(jnp.int32)
+                            insert(c, m, j * T2 + am)
+                            wm[c][0:1] = m[None, :]
+                            wml[c][0:1] = am_f[None, :]
+            return
+
         if cgate:
             p2_pred = functools.reduce(jnp.maximum, fire_terms) > 0
         elif p2gate:
@@ -419,13 +464,10 @@ if __name__ == "__main__":
     # scratch; T2=1024 now WINS with nodw+cgate (839k) — smaller tiles cost
     # less without the dw rewrite and collide less.  Round E: T2/gf/chain
     # interactions at the new optimum.
+    # Round F: per-chain phase-2 firing vs the joint gate (ship control).
     configs = [
-        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024, gf=128),
-        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=512),
-        dict(chains=8, width=128, cgate=True, nodw=True, tile_p2=1024),
-        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024, gf=32),
-        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=512, gf=128),
-        dict(chains=4, width=128, cgate=True, nodw=True, tile_p2=1024),  # ctl
+        dict(chains=8, width=128, cgate="perchain", nodw=True, tile_p2=1024),
+        dict(chains=8, width=128, cgate=True, nodw=True, tile_p2=1024),  # ctl
     ]
     if quick:
         configs = configs[:3]
