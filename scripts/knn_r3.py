@@ -50,6 +50,7 @@ def _kernel(
     nodw: bool,
     p2gate: bool,
     cgate: bool,
+    light: int,
     stop: str,
 ):
     j = pl.program_id(2)
@@ -149,8 +150,33 @@ def _kernel(
             return jnp.where(wins[c], slices[c], _INF)
         return dw[c][...]
 
-    @pl.when(maxc > 0)
-    def _():
+    def light_walk():
+        """Direct lex-(value, row) walk extraction: exact for any maxc but
+        pays a full-width reduce pair per sweep — a win only when maxc is
+        tiny (late-stream tiles), where it skips the whole fold build,
+        recovery fold, watermarks and phase 2."""
+        for c in range(C):
+            wm[c][0:1] = jnp.full((1, W), -_INF, jnp.float32)
+            wml[c][0:1] = jnp.full((1, W), -1.0, jnp.float32)
+        for k in range(light):
+
+            @pl.when(k < maxc)
+            def _(k=k):
+                for c in range(C):
+                    dwv = dw_val(c)
+                    lv = wm[c][0:1]
+                    lr = wml[c][0:1]
+                    live = (dwv > lv) | ((dwv == lv) & (row_f > lr))
+                    dvx = jnp.where(live, dwv, _INF)
+                    m = jnp.min(dvx, axis=0)
+                    am_f = jnp.min(
+                        jnp.where(dvx == m[None, :], row_f, 3e38), axis=0
+                    )
+                    insert(c, m, j * T2 + am_f.astype(jnp.int32))
+                    wm[c][0:1] = m[None, :]
+                    wml[c][0:1] = am_f[None, :]
+
+    def heavy_path():
         fire_terms = []
         for c in range(C):
             if not nodw:
@@ -320,15 +346,31 @@ def _kernel(
                                 row == am[None, :], _INF, dwc
                             )
 
+    @pl.when(maxc > 0)
+    def _():
+        if light:
+            assert nodw
+
+            @pl.when(maxc <= light)
+            def _():
+                light_walk()
+
+            @pl.when(maxc > light)
+            def _():
+                heavy_path()
+        else:
+            heavy_path()
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("K", "tile_p2", "gf", "chains", "width", "nodw",
-                     "p2gate", "cgate", "stop", "interpret"),
+                     "p2gate", "cgate", "light", "stop", "interpret"),
 )
 def knn_r3(
     p1, p2, lengths2, K, tile_p2=2048, gf=64, chains=4, width=128,
-    nodw=False, p2gate=False, cgate=False, stop="full", interpret=False,
+    nodw=False, p2gate=False, cgate=False, light=0, stop="full",
+    interpret=False,
 ):
     N, P1, D = p1.shape
     P2 = p2.shape[1]
@@ -344,7 +386,7 @@ def knn_r3(
     grid = (N, nb, P2pad // tile_p2)
     kernel = functools.partial(
         _kernel, K=K, tile_p2=tile_p2, gf=gf, chains=chains, width=width,
-        nodw=nodw, p2gate=p2gate, cgate=cgate, stop=stop,
+        nodw=nodw, p2gate=p2gate, cgate=cgate, light=light, stop=stop,
     )
     out_specs = []
     out_shapes = []
@@ -464,9 +506,12 @@ if __name__ == "__main__":
     # scratch; T2=1024 now WINS with nodw+cgate (839k) — smaller tiles cost
     # less without the dw rewrite and collide less.  Round E: T2/gf/chain
     # interactions at the new optimum.
-    # Round F: per-chain phase-2 firing vs the joint gate (ship control).
+    # Round G: light path — direct lex-walk extraction when maxc <= L,
+    # skipping the fold build + recovery + watermarks + phase 2 (late-
+    # stream tiles have tiny maxc; at 1M scale selection is 56% of time).
     configs = [
-        dict(chains=8, width=128, cgate="perchain", nodw=True, tile_p2=1024),
+        dict(chains=8, width=128, cgate=True, nodw=True, light=2, tile_p2=1024),
+        dict(chains=8, width=128, cgate=True, nodw=True, light=4, tile_p2=1024),
         dict(chains=8, width=128, cgate=True, nodw=True, tile_p2=1024),  # ctl
     ]
     if quick:
