@@ -201,3 +201,40 @@ def test_ball_query_compiled_k_exceeds_small_p2():
     idx_pal = jnp.where(iv[..., None], idx_pal, -1)
     _, i_ref = _ball_query_forward(p1, p2, l1, l2, 200, 2.0, impl="xla")
     np.testing.assert_array_equal(np.asarray(idx_pal), np.asarray(i_ref))
+
+
+def test_knn_compiled_random_inits_production_tiles():
+    """One compiled shape, many random inits: catches Mosaic miscompiles
+    that a single directed case can miss, at the cost of one compile."""
+    l1 = jnp.full((1,), 640, jnp.int32)
+    l2 = jnp.asarray([2000], jnp.int32)
+    for seed in range(8):
+        p1, p2 = _clouds(100 + seed, 1, 640, 2048)
+        d_pal, i_pal = knn_forward_pallas(p1, p2, l2, 16, 2)
+        d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 16, 2)
+        np.testing.assert_allclose(
+            np.asarray(d_pal), np.asarray(d_ref), atol=1e-5, rtol=1e-5,
+            err_msg=f"seed {seed}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_pal), np.asarray(i_ref), err_msg=f"seed {seed}"
+        )
+
+
+def test_fps_chunked_compiled_random_inits():
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_chunked
+
+    lengths = jnp.asarray([2900, 3000])
+    K = jnp.asarray([30, 17])
+    for seed in range(5):
+        pts = jax.random.normal(jax.random.PRNGKey(200 + seed), (2, 3000, 3))
+        starts = jnp.asarray([seed, 2 * seed])
+        idx_c = fps_pallas_chunked(
+            pts, lengths, K, starts, 30, chunk_points=1024
+        )
+        idx_x = jax.vmap(lambda p, l, k, s: _fps_single(p, l, k, s, 30))(
+            pts, lengths, K, starts
+        )
+        np.testing.assert_array_equal(
+            np.asarray(idx_c), np.asarray(idx_x), err_msg=f"seed {seed}"
+        )
