@@ -74,8 +74,9 @@ phase-2 screen (no change), reshape-broadcast phase-2 (656k), "gm"
 no-update watermarks (618k), dual-array index folds (Mosaic SIGABRT),
 2x256 chains (354k), 8x128 chains (385k), tile_p2 1024/4096, GF 32/128.
 
-Memory: one (D, C*W) query tile + one (T2, D) candidate tile + C x
-((T2, W) screened-distance scratch + four (GF, W) fold buffers); everything
+Memory: one (D, C*W) query tile + one (T2, D) candidate tile + the
+(T2, C*W) distance tile value + C x four (GF, W) fold/watermark buffers
+(r3 removed the per-chain (T2, W) screened-distance scratch); everything
 else streams, so P1/P2 are unbounded (1M x 1M works in tile-sized VMEM).
 """
 
@@ -401,16 +402,26 @@ def knn_forward_pallas(
     """
     N, P1, D = p1.shape
     P2 = p2.shape[1]
+    auto_tile_p1 = tile_p1 == DEFAULT_TILE_P1
     tile_p1 = min(tile_p1, max(8, P1))
     tile_p2 = min(tile_p2, max(8, P2))
-    if tile_p1 >= 2 * _CHAIN_WIDTH:
+    if auto_tile_p1 and tile_p1 >= 2 * _CHAIN_WIDTH:
         # Prefer a multi-chain tile (wide single chains measured ~2x
-        # slower) but never at more than ~12.5% query-padding waste —
-        # e.g. P1=1000 picks 4x128 (pad to 1024), P1>=8k picks 8x128.
+        # slower), ideally under ~12.5% query-padding waste — e.g.
+        # P1=1000 picks 4x128 (pad to 1024), P1>=8k picks 8x128.  Only
+        # applied when the caller left tile_p1 at the default; explicit
+        # values are honored (tile sweeps must measure what they ask for).
         for cand in (1024, 512, 384, 256, 128):
             if cand <= tile_p1 and (-(-P1 // cand) * cand) <= 1.125 * P1:
                 tile_p1 = cand
                 break
+        else:
+            # No low-waste candidate (e.g. P1=520): for tiles past 512
+            # lanes take the padding hit rather than a wide single chain —
+            # C*W > 512 single-chain shapes sit in the measured ~2x Mosaic
+            # cliff.  Narrower tiles stay single-chain as before.
+            if tile_p1 > 512:
+                tile_p1 = min(512, tile_p1 // _CHAIN_WIDTH * _CHAIN_WIDTH)
     if tile_p1 % _CHAIN_WIDTH == 0:
         chains, width = tile_p1 // _CHAIN_WIDTH, _CHAIN_WIDTH
     else:

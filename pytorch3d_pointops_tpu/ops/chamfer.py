@@ -131,10 +131,15 @@ def _chamfer_distance_single_direction(
                 # x preserved (reference chamfer.py:128-130).  The reference
                 # returns zeros with a degenerate (N, N) broadcast shape and
                 # a raw tensor in the features slot; we return the shapes
-                # the normal point-reduced path would produce ((N,) zeros,
-                # features dict keyed by feature_names) — scalar losses
-                # after batch reduction are identical (div = 1 on zero-sum).
-                z = x.sum((1, 2)) * weights * 0.0
+                # the normal path would produce for the requested reduction
+                # ((N,) point-reduced, (N, P1) un-reduced, features dict
+                # keyed by feature_names) — scalar losses after batch
+                # reduction are identical (div = 1 on zero-sum), and there
+                # is no shape discontinuity between weights=0 and eps.
+                if point_reduction is None:
+                    z = x.sum(2) * weights[:, None] * 0.0  # (N, P1)
+                else:
+                    z = x.sum((1, 2)) * weights * 0.0  # (N,)
                 zf = (
                     {name: z for name in feature_names}
                     if return_features

@@ -204,3 +204,16 @@ def test_chamfer_validation():
             x, y, point_reduction="max",
             x_features={"a": x}, y_features={"a": y}, feature_names=["a"],
         )
+
+
+def test_chamfer_zero_sum_weights_unreduced_shape():
+    """The zero-sum early-out must keep the un-reduced (N, P1)/(N, P2)
+    shapes when point_reduction=None (no shape discontinuity between
+    weights=0 and weights=eps)."""
+    x, y, l1, l2 = _clouds(jax.random.PRNGKey(32))
+    w = jnp.zeros((3,), jnp.float32)
+    (zx, zy), _ = chamfer_distance(
+        x, y, l1, l2, weights=w, point_reduction=None, batch_reduction=None
+    )
+    assert zx.shape == (3, x.shape[1]) and zy.shape == (3, y.shape[1])
+    assert not np.asarray(zx).any() and not np.asarray(zy).any()

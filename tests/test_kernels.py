@@ -397,3 +397,15 @@ def test_fps_pallas_chunked_matches_xla():
         ptsq, lq, Kq, sq
     )
     np.testing.assert_array_equal(np.asarray(ic), np.asarray(ix))
+
+
+def test_knn_pallas_auto_tile_no_wide_single_chain():
+    """P1 bands where no low-waste chain tile exists (e.g. 520) must fall
+    back to a 128-multiple tile, not a >512-lane single chain (the Mosaic
+    cliff class); correctness stays exact through the padding."""
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(55), 1, 520, 256)
+    l1 = jnp.full((1,), 520, jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(p1, p2, l2, K=4, interpret=True)
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 4, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))

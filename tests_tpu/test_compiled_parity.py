@@ -206,10 +206,12 @@ def test_ball_query_compiled_k_exceeds_small_p2():
 def test_knn_compiled_random_inits_production_tiles():
     """One compiled shape, many random inits: catches Mosaic miscompiles
     that a single directed case can miss, at the cost of one compile."""
-    l1 = jnp.full((1,), 640, jnp.int32)
+    # P1=1024 resolves to the shipped 8x128-chain tile (a smaller P1 would
+    # be auto-rebound to fewer chains and miss the production interleave).
+    l1 = jnp.full((1,), 1024, jnp.int32)
     l2 = jnp.asarray([2000], jnp.int32)
     for seed in range(8):
-        p1, p2 = _clouds(100 + seed, 1, 640, 2048)
+        p1, p2 = _clouds(100 + seed, 1, 1024, 2048)
         d_pal, i_pal = knn_forward_pallas(p1, p2, l2, 16, 2)
         d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 16, 2)
         np.testing.assert_allclose(
