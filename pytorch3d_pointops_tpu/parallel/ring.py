@@ -433,6 +433,11 @@ def ring_chamfer_distance(
     from ..ops.chamfer import _validate_chamfer_reduction_inputs
 
     _validate_chamfer_reduction_inputs(batch_reduction, point_reduction)
+    if weights is not None and not isinstance(weights, jax.core.Tracer):
+        import numpy as _np
+
+        if (_np.asarray(weights) < 0).any():
+            raise ValueError("weights cannot be negative.")
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     N, P1, _ = x.shape

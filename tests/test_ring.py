@@ -280,3 +280,25 @@ def test_ring_knn_quantized_tie_fuzz(mesh):
     np.testing.assert_allclose(
         np.asarray(out_ring.dists), np.asarray(out_ref.dists), atol=1e-6
     )
+
+
+def test_ring_chamfer_max_and_weights_match_single_chip(mesh):
+    """Hausdorff (max) reduction and per-batch weights through the ring
+    must match the single-chip op; negative weights raise like ops-level."""
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(91))
+    w = jnp.asarray([0.5, 2.0], jnp.float32)
+    for kwargs in (
+        dict(point_reduction="max", batch_reduction="mean"),
+        dict(weights=w),
+        dict(weights=w, single_directional=True, batch_reduction="sum"),
+    ):
+        loss_r = ring_chamfer_distance(p1, p2, l1, l2, mesh=mesh, **kwargs)
+        loss_s, _ = chamfer_distance(p1, p2, l1, l2, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(loss_r), np.asarray(loss_s), atol=1e-5, rtol=1e-5,
+            err_msg=str(kwargs),
+        )
+    with pytest.raises(ValueError, match="weights cannot be negative."):
+        ring_chamfer_distance(
+            p1, p2, l1, l2, weights=jnp.asarray([-1.0, 1.0]), mesh=mesh
+        )
