@@ -1,23 +1,26 @@
-"""Round-3 KNN experiment: VMEM-footprint reduction to unlock more chains.
+"""Round-3 KNN experiment harness — rounds A-G results of record.
 
-Round-2 measured a hard cliff at C*W > 512 total query lanes per program
-(330-400k q/s for EVERY such config) and localized it to total VMEM
-footprint, not lane count: the per-chain (T2, W) screened-distance scratch
-``dw`` doubles the footprint of the (T2, C*W) distance tile.  This round's
-bet: ``dw`` is redundant — everything phase 1/2 reads from it is
-recomputable from the live ``d_all`` value plus the pre-sweep threshold
-snapshot (1 compare), so dropping the refs halves peak VMEM and 8x128
-chains land at the same footprint where 4x128 runs today.  If the cliff is
-footprint-tracking, 8 chains double the latency amortization of the
-extraction sweeps (~20 ms of the 124 ms headline).
+Variant flags: nodw (no dw scratch; recompute from the live d_all),
+cgate (exact phase-2 collision gate, or "perchain"), p2gate (maxc>=2),
+light=L (direct lex-walk when maxc<=L), stop modes (dist/screen/nophase2
+floors), chains/width/tile_p2/gf tiling.
 
-Variants:
-  * nodw        — recompute win/dw values from d_all (no dw scratch refs)
-  * chains 4/6/8 at width 128, T2 2048 (+ a dw 8x128 T2=1024 control)
-  * p2gate      — skip the phase-2 survivor screen when maxc < 2 (a lane
-                  needs >= 2 admissions to produce a same-group second
-                  winner, so maxc <= 1 makes survivors impossible)
-  * stop modes  — dist / screen / nophase2 floors at the new configs
+Measured conclusions (N=M=100k K=16, one v5e; also see CLAUDE.md):
+  A/B: the r2 "512-lane cliff" is a >1M-ELEMENT distance-tile cliff —
+       (2048,1024), (1024,1536), (4096,512) collapse ~2x regardless of
+       scratch; (1024,1024), (2048,512), (512,2048) are fine.  At constant
+       tile area more chains do NOT win on their own.
+  C/D: nodw +6%; cgate +1-2.5%; together with the 8x128@T2=1024 retile:
+       809k -> 836-849k single-dispatch (SHIPPED to knn_pallas.py).
+       cgate+gf256 adds buffers that re-trigger the cliff (460k).
+  E:   T2=512 too small (674k); gf 32/128 neutral-to-worse; 12x128 cliffs.
+  F:   cgate="perchain" REJECTED (278k) — divergent pl.when regions
+       serialize catastrophically; keep conditionals joint across chains.
+  G:   light path REJECTED — neutral at L=2 (100k AND 1M), worse at L>=3;
+       the fold path beats full-width walks even at tiny maxc.
+  Floors at the shipped config: dist 55.9 ms / +screen 58.6 / +phase-1
+  sweeps 94.6 / full 117.7-120.9 — of which ~29 ms is tunnel dispatch RTT
+  (see ROOFLINE.md's correction; true per-call is 94.9 ms = 1.05M q/s).
 
 Run on the TPU:  python scripts/knn_r3.py [quick]
 """
