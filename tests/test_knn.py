@@ -229,3 +229,28 @@ def test_knn_auto_dispatch_large_k_uses_xla(monkeypatch):
     p2 = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
     out = knn_mod.knn_points(p1, p2, K=100, impl="auto")
     assert calls.get("xla") and out.idx.shape == (1, 32, 100)
+
+
+def test_knn_tiled_matches_full_large_k():
+    """The K > 64 auto fallback rides the tiled streaming path at scale;
+    index parity (incl. within-tile ties via quantized coords) must hold at
+    a K spanning multiple merge rounds."""
+    from pytorch3d_pointops_tpu.ops import knn as knn_mod
+
+    key = jax.random.PRNGKey(13)
+    k1, k2 = jax.random.split(key)
+    p1 = jnp.round(jax.random.normal(k1, (2, 60, 3)) * 2) / 2
+    p2 = jnp.round(jax.random.normal(k2, (2, 400, 3)) * 2) / 2
+    l1 = jnp.asarray([60, 41], jnp.int32)
+    l2 = jnp.asarray([400, 233], jnp.int32)
+    full = knn_mod._knn_forward_full(p1, p2, l1, l2, 100, 2)
+    old_t1, old_t2 = knn_mod._TILE_P1, knn_mod._TILE_P2
+    knn_mod._TILE_P1, knn_mod._TILE_P2 = 32, 128
+    try:
+        tiled = knn_mod._knn_forward_tiled(p1, p2, l1, l2, 100, 2)
+    finally:
+        knn_mod._TILE_P1, knn_mod._TILE_P2 = old_t1, old_t2
+    np.testing.assert_allclose(
+        np.asarray(full[0]), np.asarray(tiled[0]), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(tiled[1]))
