@@ -458,3 +458,43 @@ def test_bounding_boxes_parity(ref_pc):
         ref_pc.Pointclouds(points=[torch.from_numpy(p) for p in pts])
     )
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-6)
+
+
+def test_knn_return_sorted_false_same_neighbor_set(ref):
+    """return_sorted=False guarantees the NEIGHBOR SET, not an order (the
+    reference's kernel order is backend-dependent: its CPU heap emits
+    ascending distance, its CUDA V0-V3 vary; ours is ascending index).
+    Compare as sets against the reference's sorted output."""
+    from pytorch3d_pointops_tpu import knn_points
+
+    p1, p2, l1, l2 = _clouds(seed=19)
+    ours = knn_points(p1, p2, l1, l2, K=5, return_sorted=False)
+    theirs = ref.knn.knn_points(
+        _t(p1), _t(p2), lengths1=_t(l1).long(), lengths2=_t(l2).long(),
+        K=5, return_sorted=True,
+    )
+    oi, ti = np.asarray(ours.idx), theirs.idx.numpy()
+    od, td = np.asarray(ours.dists), theirs.dists.numpy()
+    for n in range(oi.shape[0]):
+        for i in range(oi.shape[1]):
+            kv = min(5, int(l2[n]))
+            assert set(oi[n, i, :kv]) == set(ti[n, i, :kv]), (n, i)
+            np.testing.assert_allclose(
+                np.sort(od[n, i, :kv]), np.sort(td[n, i, :kv]), atol=1e-5
+            )
+
+
+def test_knn_check_version_table():
+    """The introspection shim must reproduce the reference's CUDA version
+    validity table (knn.cu:292-303): V0 always, V1 D<=32, V2 D<=8 & K<=32,
+    V3 D<=8 & K<=4."""
+    from pytorch3d_pointops_tpu import knn_check_version
+
+    assert knn_check_version(0, 100, 100)
+    assert knn_check_version(1, 32, 99) and not knn_check_version(1, 33, 1)
+    assert knn_check_version(2, 8, 32)
+    assert not knn_check_version(2, 9, 32)
+    assert not knn_check_version(2, 8, 33)
+    assert knn_check_version(3, 8, 4)
+    assert not knn_check_version(3, 8, 5)
+    assert not knn_check_version(-1, 3, 3) and not knn_check_version(4, 3, 3)
