@@ -498,3 +498,24 @@ def test_knn_check_version_table():
     assert knn_check_version(3, 8, 4)
     assert not knn_check_version(3, 8, 5)
     assert not knn_check_version(-1, 3, 3) and not knn_check_version(4, 3, 3)
+
+
+def test_point_covariances_parity(ref):
+    """get_point_covariances composes knn + wmean + outer products; compare
+    the full composition against the reference's (functions/utils.py:111)."""
+    import importlib
+
+    ref_utils = importlib.import_module("pytorch3d_pointops.functions.utils")
+    from pytorch3d_pointops_tpu import get_point_covariances
+
+    p1, _, l1, _ = _clouds(seed=21, P1=50)
+    ours_cov, ours_knn = get_point_covariances(p1, l1, 8)
+    theirs_cov, theirs_knn = ref_utils.get_point_covariances(
+        _t(p1), _t(l1).long(), 8
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_cov), theirs_cov.numpy(), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_knn), theirs_knn.numpy(), atol=1e-5, rtol=1e-5
+    )
