@@ -96,8 +96,9 @@ if __name__ == "__main__":
     lengths = jnp.asarray([P], jnp.int32)
 
     # tile_p1 is the TOTAL query width per program; multiples of 128 split
-    # into 128-lane chains (512 -> the tuned 4x128 production shape).
-    for t1, t2 in [(512, 2048), (384, 2048), (256, 2048), (512, 1024)]:
+    # into 128-lane chains (1024x1024 -> the r3-tuned 8x128 production
+    # shape; see scripts/knn_r3.py for the full rounds A-G sweep record).
+    for t1, t2 in [(1024, 1024), (512, 2048), (512, 1024), (256, 2048)]:
         # pad P to multiples handled inside knn_forward_pallas
         try:
             t_full = timeit(
