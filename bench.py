@@ -91,7 +91,11 @@ if __name__ == "__main__":
     print(
         json.dumps(
             {
-                "metric": f"knn_{P // 1000}k_k16_queries_per_s",
+                # "_amortized" suffix (round 4): the R-repeat on-device loop
+                # changed the measurement in round 3; the rename keeps
+                # historical "queries_per_s" JSON lines (single-dispatch)
+                # comparable instead of silently conflating methodologies.
+                "metric": f"knn_{P // 1000}k_k16_queries_per_s_amortized",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(t_xla / t_pallas, 3),

@@ -428,6 +428,13 @@ def fps_pallas_chunked(
     Returns idx (N, max_K) int32, -1-padded.
     """
     N, P, D = points.shape
+    if 2 + D > 8:
+        # The per-chunk partials buffer carries (max, argmax, D coords) on
+        # its 8 sublane rows; D > 6 coords would be silently dropped.
+        raise ValueError(
+            f"fps_pallas_chunked supports D <= 6 (got D={D}): the partials "
+            "slab holds max+argmax+coords in 8 sublane rows. Use impl='xla'."
+        )
     if max_K == 0:
         return jnp.zeros((N, 0), jnp.int32)
     if chunk_points == 0:

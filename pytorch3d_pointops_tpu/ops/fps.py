@@ -113,7 +113,11 @@ def _fps_indices(points, lengths, K_dev, start_idxs, max_K, impl):
                 impl = "pallas_batched"
             elif P * d_scale <= MAX_VMEM_POINTS:
                 impl = "pallas"
-            elif P <= MAX_CHUNKED_POINTS:
+            elif P <= MAX_CHUNKED_POINTS and D <= 6:
+                # The chunked kernel publishes per-chunk (max, argmax,
+                # D coords) partials on the 8 sublane rows of one buffer, so
+                # it only holds D <= 6 coordinates; higher-D giants take the
+                # (slow but correct) XLA fori_loop.
                 impl = "pallas_chunked"
     elif impl in (
         "pallas", "pallas_batched", "pallas_chunked"

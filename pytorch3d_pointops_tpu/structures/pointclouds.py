@@ -407,8 +407,25 @@ class Pointclouds:
         new.equisized = self.equisized
         return new
 
-    def to(self, device) -> "Pointclouds":
-        """Place all arrays on the given jax.Device (or sharding)."""
+    def to(self, device, copy: bool = False) -> "Pointclouds":
+        """Place all arrays on the given jax.Device (or sharding).
+
+        Mirrors reference ``point_structure.py:828-875``: with ``copy=False``
+        (the default) and every array already resident on ``device``, ``self``
+        is returned unchanged; otherwise a new object is built.  (Arrays are
+        immutable in JAX, so the copy flag only controls object identity.)
+        """
+        if not copy:
+            arrays = [self._points_padded, self._num_points_per_cloud]
+            arrays += list(self._features_padded.values())
+            try:
+                if all(
+                    getattr(a, "devices", lambda: set())() == {device}
+                    for a in arrays
+                ):
+                    return self
+            except (AttributeError, TypeError):
+                pass  # sharding targets / non-committed arrays: rebuild
         new = self.__class__(
             points=jax.device_put(self._points_padded, device),
             lengths=jax.device_put(self._num_points_per_cloud, device),

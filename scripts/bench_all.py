@@ -79,7 +79,9 @@ def main():
     p2 = jax.random.normal(jax.random.fold_in(k, 1), (2, 1000, 3))
     l1 = jnp.asarray([1000, 800], jnp.int32)
     l2 = jnp.asarray([1000, 800], jnp.int32)
-    R = 100
+    # R=1000 (round 4; was 100): at R=100 the residual per-dispatch noise
+    # left a ~40% error bar on the ~0.03 ms/call value.
+    R = 1000
 
     @jax.jit
     def knn_small_rep(a, b):

@@ -120,3 +120,21 @@ def test_fps_forced_pallas_off_tpu_raises():
     for impl in ("pallas", "pallas_batched"):
         with pytest.raises(ValueError, match="requires a TPU backend"):
             sample_farthest_points(pts, K=4, impl=impl)
+
+
+def test_fps_chunked_rejects_high_d():
+    """The chunked kernel's partials slab holds max+argmax+coords in 8
+    sublane rows, so D > 6 must raise instead of silently zeroing coords
+    (round-3 advisor finding); auto-dispatch routes D > 6 giants to XLA."""
+    from pytorch3d_pointops_tpu.kernels.fps_pallas import fps_pallas_chunked
+
+    pts = jnp.zeros((1, 2048, 7))
+    with pytest.raises(ValueError, match="D <= 6"):
+        fps_pallas_chunked(
+            pts,
+            jnp.asarray([2048], jnp.int32),
+            jnp.asarray([4], jnp.int32),
+            jnp.asarray([0], jnp.int32),
+            4,
+            interpret=True,
+        )

@@ -130,6 +130,21 @@ def test_clone_detach_extend_split_getcloud():
     np.testing.assert_array_equal(np.asarray(f["colors"]), np.asarray(feats["colors"][2]))
 
 
+def test_to_copy_flag():
+    """Reference point_structure.py:828-875: copy=False + same device
+    returns self; copy=True always builds a new (equal) object."""
+    pts, feats = _ragged_clouds()
+    pc = Pointclouds(pts, features=feats)
+    dev = jax.devices()[0]
+    on_dev = pc.to(dev)  # commit to a concrete device first
+    assert all_close(pc, on_dev)
+    assert on_dev.to(dev) is on_dev
+    copied = on_dev.to(dev, copy=True)
+    assert copied is not on_dev
+    assert all_close(on_dev, copied)
+    assert copied.equisized == on_dev.equisized
+
+
 def test_get_cloud_bounds():
     """Reference contract (point_structure.py:938-943): index must be an
     int in [0, N); both out-of-range ends raise ValueError, not IndexError."""
