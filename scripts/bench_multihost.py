@@ -33,7 +33,10 @@ import jax
 if os.environ.get("MULTIHOST_VIRTUAL") == "1":
     jax.config.update("jax_platforms", "cpu")
 
+import functools
+
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pytorch3d_pointops_tpu.parallel import make_mesh, ring_chamfer_distance
@@ -41,6 +44,67 @@ from pytorch3d_pointops_tpu.parallel import make_mesh, ring_chamfer_distance
 
 def _force(x):
     return float(jax.tree_util.tree_leaves(x)[0].sum())
+
+
+def comm_probe(mesh, axis, global_shape, iters=3, hops=32):
+    """Measured per-hop cost of the ring's ``ppermute`` at the step's actual
+    shard bytes (round-3 verdict #9: the efficiency number should rest on a
+    measurement, not an assumed overhead split).  Chains ``hops`` dependent
+    ppermutes inside one program so dispatch overhead amortizes out."""
+    n_ax = mesh.shape[axis]
+    perm = [(i, (i + 1) % n_ax) for i in range(n_ax)]
+    sh = NamedSharding(mesh, P("dp", "sp", None))
+    buf = jax.device_put(jnp.zeros(global_shape, jnp.float32), sh)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("dp", "sp", None),
+        out_specs=P("dp", "sp", None),
+    )
+    def chained(b):
+        def body(_i, x):
+            return jax.lax.ppermute(x, axis, perm)
+
+        return jax.lax.fori_loop(0, hops, body, b)
+
+    _force(chained(buf))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        _force(chained(buf))
+        best = min(best, time.time() - t0)
+    return best / hops
+
+
+def psum_probe(mesh, iters=3, hops=32):
+    """Measured cost of the scalar loss psum on the mesh (the ONLY collective
+    in the dp-sharded weak-scaling step: batch and grads stay sharded, so no
+    gradient all-reduce exists there)."""
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P("dp", None, None),
+        out_specs=P("dp", None, None),
+    )
+    def chained(b):
+        def body(_i, x):
+            # psum chained through a data dependence so the hops can't fuse
+            # away; the carry stays dp-varying.
+            return x + jax.lax.psum(x.sum(), "dp") * 1e-20
+
+        return jax.lax.fori_loop(0, hops, body, b)
+
+    buf = jax.device_put(
+        jnp.zeros((mesh.shape["dp"], 8, 3), jnp.float32),
+        NamedSharding(mesh, P("dp", None, None)),
+    )
+    _force(chained(buf))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        _force(chained(buf))
+        best = min(best, time.time() - t0)
+    return best / hops
 
 
 def step_time(mesh, target, src, iters=3):
@@ -76,6 +140,7 @@ def main():
     src = jax.random.normal(jax.random.PRNGKey(1), (N, Ppts, 3)) * 2.0
 
     results = {}
+    comm_probe_record = None
     # 1-way point sharding (all devices on dp) vs max sp sharding.
     for sp in (1, min(4, n)):
         dp = n // sp
@@ -86,6 +151,22 @@ def main():
         t = step_time(mesh, tgt, s)
         results[f"dp{dp}_sp{sp}"] = t * 1e3
         print(json.dumps({"mesh": f"dp{dp}xsp{sp}", "step_ms": round(t * 1e3, 2)}))
+        if sp > 1:
+            # Comm fraction, measured: the chamfer step moves a y-shard
+            # around the ring 2*sp hops forward + 4*sp backward (y and gy
+            # both rotate, parallel/ring.py:100,155-156) at these bytes.
+            t_hop = comm_probe(mesh, "sp", (N, Ppts, 3))
+            hops_per_step = 6 * sp
+            comm_record = {
+                "ring_hop_ms": round(t_hop * 1e3, 3),
+                "hops_per_step": hops_per_step,
+                "shard_bytes": N // dp * (Ppts // sp) * 3 * 4,
+                "measured_comm_share_of_step": round(
+                    t_hop * hops_per_step / t, 3
+                ),
+            }
+            comm_probe_record = comm_record
+            print(json.dumps({"comm_probe": comm_record}))
 
     # ---- Weak scaling (the BASELINE config-5 methodology) ----
     # Identical per-device work: the batch scales with dp (N = n_dev * N0,
@@ -117,6 +198,11 @@ def main():
         weak[ndev] = t
         print(json.dumps({"weak_scaling_dev": ndev, "step_ms": round(t * 1e3, 2)}))
     eff_raw = weak[1] / weak[n]
+    # Measured comm in the weak-scaling step: the dp-sharded batch keeps
+    # gradients sharded (no all-reduce), so the only collective is the
+    # scalar loss psum — measure it rather than assuming it negligible.
+    mesh_n = make_mesh((n, 1), ("dp", "sp"), devices=devices)
+    t_psum = psum_probe(mesh_n)
     record_weak = {
         "t_1dev_ms": round(weak[1] * 1e3, 2),
         f"t_{n}dev_scaled_ms": round(weak[n] * 1e3, 2),
@@ -125,6 +211,14 @@ def main():
         "points": Pw,
         "host_cores": host_cores,
         "efficiency_raw": round(eff_raw, 3),
+        "comm": {
+            "loss_psum_ms": round(t_psum * 1e3, 3),
+            "measured_comm_share_of_step": round(t_psum / weak[n], 4),
+            "note": "dp-sharded batch keeps grads sharded (no all-reduce); "
+            "the scalar loss psum is the step's only collective — its "
+            "measured share bounds the non-serialization overhead the "
+            "corrected efficiency attributes to collectives",
+        },
     }
     if virtual and host_cores < n:
         ideal = weak[1] * n / host_cores
@@ -154,6 +248,7 @@ def main():
         "points": Ppts,
         "step_ms": {k: round(v, 2) for k, v in results.items()},
         "weak_scaling": record_weak,
+        "comm_probe": comm_probe_record,
     }
     if len(keys) == 2:
         # Same total devices, deeper point sharding: efficiency = t1/t2 per
