@@ -103,6 +103,16 @@ DEFAULT_TILE_P2 = 1024
 _CHAIN_WIDTH = 128
 _KNN_FOLD_FLOOR = 64
 
+# Per-round top-K capacity for large K: the kernel statically unrolls up to
+# 2*K extraction sweeps, so past this the unrolling stops paying for itself
+# and remote TPU compiles blow up (same economics as the ball-query kernel's
+# 64-key rounds, kernels/ball_query_pallas.py:16-28).  K > _ROUND_K chains
+# rounds of the same compiled kernel with a per-query lexicographic
+# (value, index) lower bound — round r admits only candidates strictly above
+# round r-1's kth entry, so the concatenated rounds are exactly the global
+# ascending (value, index) order chunked by _ROUND_K.
+_ROUND_K = 64
+
 
 def _fold_width(tile_p2: int, floor: int = 256) -> int:
     """Width of the folded group-minima buffer: halve while even, down to
@@ -117,16 +127,19 @@ def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
     p2_ref,  # VMEM (1, T2, D) — candidates natural
-    *refs,  # C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
+    *refs,  # [lb (1,2,C*W) if chained] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
     K: int,
     norm: int,
     tile_p2: int,
     chains: int,
     width: int,
     gf: int,
+    chained: bool = False,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
+    if chained:
+        lb_ref, refs = refs[0], refs[1:]
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
     scratch = refs[2 * C :]
@@ -190,7 +203,12 @@ def _knn_kernel(
 
     # Admission screen per chain: each sorted state's last row is that
     # chain's kth-smallest so far.  Strict < matches MinK's replace-max
-    # test (first-seen wins on exact ties, mink.cuh:70).
+    # test (first-seen wins on exact ties, mink.cuh:70).  Chained rounds
+    # additionally require candidates lexicographically ABOVE the previous
+    # round's per-query (kth value, kth index) bound, so round r returns
+    # exactly entries (r*K, (r+1)*K] of the global ascending order.
+    if chained:
+        gidx_f = (j * tile_p2 + row).astype(jnp.float32)  # exact < 2**24
     slices = []
     wins = []
     cnts = []
@@ -199,6 +217,10 @@ def _knn_kernel(
         slices.append(d_c)
         thresh = out_d[c][0][K - 1][None, :]
         win = (d_c < thresh) & rmask
+        if chained:
+            lbd = lb_ref[0, 0, c * W : (c + 1) * W][None, :]
+            lbi = lb_ref[0, 1, c * W : (c + 1) * W][None, :]
+            win = win & ((d_c > lbd) | ((d_c == lbd) & (gidx_f > lbi)))
         wins.append(win)
         cnts.append(jnp.sum(win.astype(jnp.int32), axis=0))
     maxc = jnp.minimum(
@@ -375,7 +397,8 @@ def _knn_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("K", "norm", "tile_p1", "tile_p2", "interpret")
+    jax.jit,
+    static_argnames=("K", "norm", "tile_p1", "tile_p2", "interpret", "gf"),
 )
 def knn_forward_pallas(
     p1: Array,
@@ -383,18 +406,28 @@ def knn_forward_pallas(
     lengths2: Array,
     K: int,
     norm: int = 2,
-    tile_p1: int = DEFAULT_TILE_P1,
+    tile_p1: int = None,
     tile_p2: int = DEFAULT_TILE_P2,
     interpret: bool = False,
+    lb: tuple = None,
+    gf: int = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
     Args:
         p1: (N, P1, D) queries; p2: (N, P2, D) references (f32).
         lengths2: (N,) valid reference counts.
-        K: neighbors; norm: 1 or 2.
+        K: neighbors; norm: 1 or 2.  K > 64 chains rounds of the 64-key
+            kernel with per-query lexicographic lower bounds (one XLA
+            program, ceil(K/64) streams over p2) — the TPU answer to the
+            reference V0 kernel's any-K support (knn.cu:28-67).
         tile_p1: TOTAL query lanes per program; split into 128-lane chains
-            when divisible (4 x 128 is the tuned production shape).
+            when divisible (8 x 128 is the tuned production shape).  None
+            (default) auto-selects; an explicit value is honored verbatim
+            (tile sweeps must measure what they ask for).
+        lb: internal (chained rounds): per-query exclusive lexicographic
+            lower bound as (lb_dists (N, P1) f32, lb_idx (N, P1) int32);
+            only candidates with (d, idx) lex-above the bound are admitted.
 
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
@@ -402,7 +435,18 @@ def knn_forward_pallas(
     """
     N, P1, D = p1.shape
     P2 = p2.shape[1]
-    auto_tile_p1 = tile_p1 == DEFAULT_TILE_P1
+    if K > _ROUND_K:
+        if lb is not None:
+            raise ValueError("lb is only supported for K <= 64 rounds")
+        return _knn_forward_pallas_bigk(
+            p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf
+        )
+    chained = lb is not None
+    if chained and K == 1:
+        raise ValueError("chained rounds require K > 1")
+    auto_tile_p1 = tile_p1 is None
+    if auto_tile_p1:
+        tile_p1 = DEFAULT_TILE_P1
     tile_p1 = min(tile_p1, max(8, P1))
     tile_p2 = min(tile_p2, max(8, P2))
     if auto_tile_p1 and tile_p1 >= 2 * _CHAIN_WIDTH:
@@ -440,11 +484,15 @@ def knn_forward_pallas(
 
     nb = P1pad // CW
     grid = (N, nb, P2pad // tile_p2)
-    gf = _fold_width(tile_p2, _KNN_FOLD_FLOOR)
+    if gf is None:
+        # GF=64 wins at every K swept (v5e, 100k x 100k: K=64 GF 64/128/256/
+        # 512 -> 879/919/1028/1274 ms) — wider fold buffers cost more in
+        # fold/recovery than they save in phase-2 collisions.
+        gf = _fold_width(tile_p2, _KNN_FOLD_FLOOR)
 
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
-        width=width, gf=gf,
+        width=width, gf=gf, chained=chained,
     )
     out_specs = []
     out_shapes = []
@@ -471,19 +519,38 @@ def knn_forward_pallas(
             pltpu.VMEM((gf, width), jnp.float32),
             pltpu.VMEM((gf, width), jnp.float32),
         ]
+    in_specs = [
+        pl.BlockSpec(
+            (1, D, CW), lambda n, i, j, _l: (n, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile_p2, D), lambda n, i, j, _l: (n, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [lengths2_smem, p1_t, p2]
+    if chained:
+        lb_d, lb_i = lb
+        lb_arr = jnp.stack(
+            [lb_d, lb_i.astype(jnp.float32)], axis=1
+        )  # (N, 2, P1)
+        if P1pad != P1:
+            lb_arr = jnp.pad(
+                lb_arr, ((0, 0), (0, 0), (0, P1pad - P1)),
+                constant_values=-_INF,
+            )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2, CW), lambda n, i, j, _l: (n, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(lb_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, D, CW), lambda n, i, j, _l: (n, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_p2, D), lambda n, i, j, _l: (n, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -501,7 +568,7 @@ def knn_forward_pallas(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths2_smem, p1_t, p2)
+    )(*operands)
 
     if chains == 1:
         d_full, i_full = outs[0], outs[1]
@@ -520,3 +587,41 @@ def knn_forward_pallas(
         jnp.swapaxes(d_full, 1, 2)[:, :P1],
         jnp.swapaxes(i_full, 1, 2)[:, :P1],
     )
+
+
+def _knn_forward_pallas_bigk(
+    p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf=None
+):
+    """K > 64 via round chaining (all rounds inside one XLA program, one
+    kernel compilation): round r re-runs the 64-key kernel admitting only
+    candidates lexicographically above round r-1's per-query (kth value,
+    kth index), so the concatenated rounds are exactly the global ascending
+    (value, index) order — the order MinK + the reference post-sort produce
+    (functions/knn.py:77-89).  Rounds past ceil(min(K, P2)/64) cannot admit
+    anything and are skipped; exhausted entries carry the kernel's
+    (inf, 0) fill, which the caller's pad conventions zero out."""
+    N, P1, D = p1.shape
+    P2 = p2.shape[1]
+    Kc = _ROUND_K
+    rounds = max(1, -(-min(K, P2) // Kc))
+    lb_d = jnp.full((N, P1), -_INF, jnp.float32)
+    lb_i = jnp.full((N, P1), -1, jnp.int32)
+    ds, idxs = [], []
+    for _r in range(rounds):
+        d, i = knn_forward_pallas(
+            p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
+            lb=(lb_d, lb_i), gf=gf,
+        )
+        ds.append(d)
+        idxs.append(i)
+        # Exhausted queries carry lb_d = inf: finite distances can never
+        # lex-exceed it, so later rounds admit nothing for them.
+        lb_d, lb_i = d[..., -1], i[..., -1]
+    d = ds[0] if rounds == 1 else jnp.concatenate(ds, axis=2)
+    i = idxs[0] if rounds == 1 else jnp.concatenate(idxs, axis=2)
+    if d.shape[2] < K:
+        d = jnp.pad(
+            d, ((0, 0), (0, 0), (0, K - d.shape[2])), constant_values=_INF
+        )
+        i = jnp.pad(i, ((0, 0), (0, 0), (0, K - i.shape[2])))
+    return d[:, :, :K], i[:, :, :K]

@@ -15,6 +15,7 @@ y-neighbor's feature.  Accepts raw (N, P, D) arrays or ``Pointclouds``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Union
 
 import jax
@@ -22,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..structures.pointclouds import Pointclouds
-from .knn import knn_gather, knn_points
+from .knn import _apply_pad_conventions, knn_backward, knn_gather, knn_points
 
 Array = jnp.ndarray
 
@@ -80,6 +81,79 @@ def _cosine_similarity(a: Array, b: Array, eps: float = 1e-6) -> Array:
     return dot / jnp.clip(na * nb, min=eps)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _nn_bidir_core(x, y, x_lengths, y_lengths, norm):
+    """Both chamfer K=1 NN directions from ONE streamed Pallas pass
+    (kernels/chamfer_pallas.py) — halves distance work vs the reference's
+    two kernel launches (chamfer.py:134,318-330).  TPU only; callers
+    dispatch.  Returns (d_xy, i_xy, d_yx, i_yx) with the reference pad
+    conventions applied per direction (knn.h:29-37)."""
+    return _nn_bidir_fwd(x, y, x_lengths, y_lengths, norm)[0]
+
+
+def _nn_bidir_fwd(x, y, x_lengths, y_lengths, norm):
+    from ..kernels.chamfer_pallas import chamfer_nn_bidirectional_pallas
+
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(
+        x, y, x_lengths, y_lengths, norm
+    )
+    d1, i1 = _apply_pad_conventions(
+        d1[..., None], i1[..., None], x_lengths, y_lengths, 1, x.shape[1]
+    )
+    d2, i2 = _apply_pad_conventions(
+        d2[..., None], i2[..., None], y_lengths, x_lengths, 1, y.shape[1]
+    )
+    out = (d1[..., 0], i1[..., 0], d2[..., 0], i2[..., 0])
+    return out, (x, y, x_lengths, y_lengths, i1[..., 0], i2[..., 0])
+
+
+def _nn_bidir_bwd(norm, res, grads):
+    x, y, x_lengths, y_lengths, i1, i2 = res
+    gd1, _, gd2, _ = grads
+    gx_a, gy_a = knn_backward(
+        x, y, x_lengths, y_lengths, i1[..., None], norm, gd1[..., None]
+    )
+    gy_b, gx_b = knn_backward(
+        y, x, y_lengths, x_lengths, i2[..., None], norm, gd2[..., None]
+    )
+    return gx_a + gx_b, gy_a + gy_b, None, None
+
+
+_nn_bidir_core.defvjp(_nn_bidir_fwd, _nn_bidir_bwd)
+
+
+def _nn_bidirectional(x, y, x_lengths, y_lengths, norm, impl):
+    """Dispatch the bidirectional K=1 NN: the fused Pallas kernel on TPU
+    ('auto'/'pallas'), two composed ``knn_points`` passes otherwise."""
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and max(x.shape[1], y.shape[1]) < 2**24
+            else "xla"
+        )
+    elif impl == "pallas" and jax.default_backend() != "tpu":
+        raise ValueError(
+            "impl='pallas' requires a TPU backend (the fused chamfer NN "
+            "kernel is a Mosaic TPU program; current backend: "
+            f"{jax.default_backend()!r}). Use impl='auto' or impl='xla'."
+        )
+    if impl == "pallas":
+        d1, i1, d2, i2 = _nn_bidir_core(x, y, x_lengths, y_lengths, norm)
+    else:
+        nn1 = knn_points(
+            x, y, lengths1=x_lengths, lengths2=y_lengths, norm=norm, K=1,
+            impl=impl,
+        )
+        nn2 = knn_points(
+            y, x, lengths1=y_lengths, lengths2=x_lengths, norm=norm, K=1,
+            impl=impl,
+        )
+        d1, i1 = nn1.dists[..., 0], nn1.idx[..., 0]
+        d2, i2 = nn2.dists[..., 0], nn2.idx[..., 0]
+    return (d1, i1), (d2, i2)
+
+
 def _chamfer_distance_single_direction(
     x,
     y,
@@ -93,8 +167,11 @@ def _chamfer_distance_single_direction(
     abs_cosine: bool,
     feature_names=None,
     impl: str = "auto",
+    nn=None,
 ):
-    """Reference chamfer.py:85-189."""
+    """Reference chamfer.py:85-189.  ``nn`` optionally carries a precomputed
+    (dists (N, P1), idx (N, P1)) K=1 nearest-neighbor result (from the fused
+    bidirectional pass) so the distance work is not repeated per direction."""
     if feature_names and x_features is not None and y_features is not None:
         for name in feature_names:
             if name not in x_features:
@@ -147,11 +224,15 @@ def _chamfer_distance_single_direction(
                 )
                 return z, zf
 
-    x_nn = knn_points(
-        x, y, lengths1=x_lengths, lengths2=y_lengths, norm=norm, K=1, impl=impl
-    )
-    cham_x = x_nn.dists[..., 0]  # (N, P1)
-    cham_x = jnp.where(x_mask, 0.0, cham_x)
+    if nn is None:
+        x_nn = knn_points(
+            x, y, lengths1=x_lengths, lengths2=y_lengths, norm=norm, K=1,
+            impl=impl,
+        )
+        nn_dists, nn_idx = x_nn.dists[..., 0], x_nn.idx
+    else:
+        nn_dists, nn_idx = nn[0], nn[1][..., None]
+    cham_x = jnp.where(x_mask, 0.0, nn_dists)  # (N, P1)
     if weights is not None:
         cham_x = cham_x * weights[:, None]
 
@@ -161,7 +242,7 @@ def _chamfer_distance_single_direction(
         for name in feature_names:
             x_feature = x_features[name]
             y_feature = y_features[name]
-            x_feature_near = knn_gather(y_feature, x_nn.idx, y_lengths)[..., 0, :]
+            x_feature_near = knn_gather(y_feature, nn_idx, y_lengths)[..., 0, :]
             cos = _cosine_similarity(x_feature, x_feature_near)
             cos = jnp.abs(cos) if abs_cosine else cos
             fd = 1.0 - cos
@@ -247,9 +328,19 @@ def chamfer_distance(
     x, x_lengths, x_features = _handle_pointcloud_input(x, x_lengths, x_features)
     y, y_lengths, y_features = _handle_pointcloud_input(y, y_lengths, y_features)
 
+    # Bidirectional calls get both K=1 NN directions from ONE streamed
+    # distance pass (the fused Pallas kernel on TPU; two composed knn_points
+    # elsewhere) — the per-direction bodies then skip their own knn.  The
+    # weights validation / zero-sum early-out still runs first inside each
+    # direction, before the precomputed nn is touched.
+    nn_x = nn_y = None
+    if not single_directional:
+        nn_x, nn_y = _nn_bidirectional(x, y, x_lengths, y_lengths, norm, impl)
+
     cham_x, cham_features_x = _chamfer_distance_single_direction(
         x, y, x_lengths, y_lengths, x_features, y_features,
         weights, point_reduction, norm, abs_cosine, feature_names, impl,
+        nn=nn_x,
     )
     if single_directional:
         loss = cham_x
@@ -258,6 +349,7 @@ def chamfer_distance(
         cham_y, cham_features_y = _chamfer_distance_single_direction(
             y, x, y_lengths, x_lengths, y_features, x_features,
             weights, point_reduction, norm, abs_cosine, feature_names, impl,
+            nn=nn_y,
         )
         if point_reduction == "max":
             loss = jnp.maximum(cham_x, cham_y)

@@ -234,15 +234,10 @@ def _knn_forward(p1, p2, lengths1, lengths2, K, norm, impl):
     P2 = p2.shape[1]
     if impl == "auto":
         impl = _default_impl(norm)
-        # The Pallas kernel statically unrolls up to 2*K extraction sweeps
-        # per phase; past K=64 remote TPU compiles blow up (20-200 s/shape,
-        # compiler OOM risk) and the sweep unrolling stops paying for
-        # itself — same economics as the ball-query kernel's 64-key round
-        # cap.  Auto falls back to the tiled XLA streaming path; a forced
-        # impl="pallas" still honors the caller.
-        if impl == "pallas" and K > 64:
-            logger.info("knn_points auto: K=%d > 64, using the XLA path", K)
-            impl = "xla"
+        # Any K is kernel-served: K <= 64 in one pass, K > 64 by chaining
+        # 64-key rounds with lexicographic lower bounds inside one program
+        # (kernels/knn_pallas.py _knn_forward_pallas_bigk) — the TPU answer
+        # to the reference V0 kernel's any-K support (knn.cu:28-67).
     elif impl == "pallas" and jax.default_backend() != "tpu":
         raise ValueError(
             "impl='pallas' requires a TPU backend (the KNN Pallas kernel is "

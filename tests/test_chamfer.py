@@ -217,3 +217,45 @@ def test_chamfer_zero_sum_weights_unreduced_shape():
     )
     assert zx.shape == (3, x.shape[1]) and zy.shape == (3, y.shape[1])
     assert not np.asarray(zx).any() and not np.asarray(zy).any()
+
+
+def test_fused_bidir_vjp_matches_composed_grads():
+    """The fused bidirectional op's custom VJP (two knn_backward scatter
+    passes summed) must reproduce jax.grad through the composed two-pass
+    path for an arbitrary cotangent on both direction dists."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+    from pytorch3d_pointops_tpu.ops.chamfer import _nn_bidir_bwd
+    from pytorch3d_pointops_tpu.ops.knn import (
+        _apply_pad_conventions,
+        knn_points,
+    )
+
+    x, y, l1, l2 = _clouds(jax.random.PRNGKey(31), N=2, P1=24, P2=36)
+    kw = jax.random.split(jax.random.PRNGKey(32), 2)
+    w1 = jax.random.normal(kw[0], (2, 24))
+    w2 = jax.random.normal(kw[1], (2, 36))
+
+    def composed(x, y):
+        nn1 = knn_points(x, y, l1, l2, K=1, impl="xla")
+        nn2 = knn_points(y, x, l2, l1, K=1, impl="xla")
+        return jnp.sum(w1 * nn1.dists[..., 0]) + jnp.sum(
+            w2 * nn2.dists[..., 0]
+        )
+
+    gx_ref, gy_ref = jax.grad(composed, argnums=(0, 1))(x, y)
+
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(
+        x, y, l1, l2, 2, tile_p1=16, tile_p2=128, interpret=True
+    )
+    d1p, i1p = _apply_pad_conventions(
+        d1[..., None], i1[..., None], l1, l2, 1, 24
+    )
+    d2p, i2p = _apply_pad_conventions(
+        d2[..., None], i2[..., None], l2, l1, 1, 36
+    )
+    res = (x, y, l1, l2, i1p[..., 0], i2p[..., 0])
+    gx, gy, _, _ = _nn_bidir_bwd(2, res, (w1, None, w2, None))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), atol=1e-5)

@@ -409,3 +409,141 @@ def test_knn_pallas_auto_tile_no_wide_single_chain():
     d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, 4, 2)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+# ---- fused bidirectional chamfer NN kernel ----
+
+
+@pytest.mark.parametrize("norm", [1, 2])
+def test_chamfer_bidir_kernel_matches_composed(norm):
+    """One fused pass must equal two composed K=1 KNN forwards in both
+    directions: dists allclose, indices exact (incl. ragged lengths)."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+
+    p1, p2, l2 = _clouds(jax.random.PRNGKey(norm + 20), 3, 130, 70)
+    l1 = jnp.asarray([130, 60, 1], jnp.int32)
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(
+        p1, p2, l1, l2, norm, tile_p1=32, tile_p2=128, interpret=True
+    )
+    rd1, ri1 = _knn_forward_full(p1, p2, l1, l2, 1, norm)
+    rd2, ri2 = _knn_forward_full(p2, p1, l2, l1, 1, norm)
+    for n in range(3):
+        v1, v2 = int(l1[n]), int(l2[n])
+        np.testing.assert_allclose(
+            np.asarray(d1[n, :v1]), np.asarray(rd1[n, :v1, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i1[n, :v1]), np.asarray(ri1[n, :v1, 0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2[n, :v2]), np.asarray(rd2[n, :v2, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i2[n, :v2]), np.asarray(ri2[n, :v2, 0])
+        )
+
+
+def test_chamfer_bidir_kernel_tie_stress():
+    """Duplicate points create exact distance ties within AND across tiles;
+    both directions must keep the LOWEST index (first-seen-wins,
+    mink.cuh:62-83) through the cross-tile strict-< merges."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(
+        np.repeat(rng.normal(size=(1, 20, 3)).astype(np.float32), 3, axis=1)
+    )
+    y = jnp.asarray(
+        np.repeat(rng.normal(size=(1, 15, 3)).astype(np.float32), 4, axis=1)
+    )
+    l1 = jnp.asarray([60], jnp.int32)
+    l2 = jnp.asarray([60], jnp.int32)
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(
+        x, y, l1, l2, 2, tile_p1=16, tile_p2=128, interpret=True
+    )
+    _, ri1 = _knn_forward_full(x, y, l1, l2, 1, 2)
+    _, ri2 = _knn_forward_full(y, x, l2, l1, 1, 2)
+    np.testing.assert_array_equal(np.asarray(i1[0]), np.asarray(ri1[0, :, 0]))
+    np.testing.assert_array_equal(np.asarray(i2[0]), np.asarray(ri2[0, :, 0]))
+
+
+def test_knn_pallas_chained_big_k():
+    """K > 64 chains 64-key rounds with lexicographic lower bounds; the
+    concatenation must equal the global ascending order exactly, including
+    on tie-heavy quantized data where round boundaries split tie groups."""
+    rng = np.random.default_rng(0)
+    p1 = jnp.asarray(rng.integers(0, 3, size=(2, 50, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.integers(0, 3, size=(2, 300, 3)).astype(np.float32))
+    l1 = jnp.asarray([50, 50], jnp.int32)
+    l2 = jnp.asarray([300, 170], jnp.int32)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=100, tile_p1=32, tile_p2=128, interpret=True
+    )
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 100, 2)
+    for n in range(2):
+        kv = min(100, int(l2[n]))
+        np.testing.assert_allclose(
+            np.asarray(d[n, :, :kv]), np.asarray(rd[n, :, :kv]), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i[n, :, :kv]), np.asarray(ri[n, :, :kv])
+        )
+
+
+def test_knn_pallas_chained_k_exceeds_p2():
+    """K > P2: rounds are capped at ceil(P2/64) and the tail carries the
+    kernel's (inf, 0) fill for the caller's pad conventions to zero."""
+    rng = np.random.default_rng(1)
+    p1 = jnp.asarray(rng.normal(size=(1, 40, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(1, 120, 3)).astype(np.float32))
+    l1 = jnp.asarray([40], jnp.int32)
+    l2 = jnp.asarray([120], jnp.int32)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=150, tile_p1=32, tile_p2=64, interpret=True
+    )
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 150, 2)
+    np.testing.assert_allclose(
+        np.asarray(d[0, :, :120]), np.asarray(rd[0, :, :120]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i[0, :, :120]), np.asarray(ri[0, :, :120])
+    )
+    assert bool(jnp.isinf(d[0, :, 120:]).all())
+
+
+def test_chamfer_bidir_kernel_multi_tile_grid():
+    """nI > 1 AND nJ > 1 (the 4D y-output block layout): regression for the
+    Mosaic block-shape rule a (1, 1, T2)-over-(N, nJ, T2) spec violated
+    whenever nJ > 1."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 600, 3)).astype(np.float32))
+    l1 = jnp.asarray([300, 293], jnp.int32)
+    l2 = jnp.asarray([600, 469], jnp.int32)
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(
+        x, y, l1, l2, 2, tile_p1=64, tile_p2=128, interpret=True
+    )
+    rd1, ri1 = _knn_forward_full(x, y, l1, l2, 1, 2)
+    rd2, ri2 = _knn_forward_full(y, x, l2, l1, 1, 2)
+    for n in range(2):
+        v1, v2 = int(l1[n]), int(l2[n])
+        np.testing.assert_allclose(
+            np.asarray(d1[n, :v1]), np.asarray(rd1[n, :v1, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i1[n, :v1]), np.asarray(ri1[n, :v1, 0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2[n, :v2]), np.asarray(rd2[n, :v2, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i2[n, :v2]), np.asarray(ri2[n, :v2, 0])
+        )

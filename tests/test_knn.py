@@ -210,25 +210,33 @@ def test_knn_forced_pallas_off_tpu_raises():
         knn_points(p1, p2, K=2, impl="pallas")
 
 
-def test_knn_auto_dispatch_large_k_uses_xla(monkeypatch):
-    """Auto dispatch must not send K > 64 to the Pallas kernel (its
-    statically-unrolled sweeps would blow up the TPU compile); the forced
-    impl='pallas' escape hatch stays with the caller."""
+def test_knn_auto_dispatch_large_k_stays_on_kernel(monkeypatch):
+    """K > 64 auto dispatch stays on the Pallas kernel — chained 64-key
+    rounds give any-K at kernel speed (the reference V0 bar, knn.cu:28-67)
+    — and the full op's results through that path match the XLA twin."""
+    from pytorch3d_pointops_tpu.kernels import knn_pallas as kp
     from pytorch3d_pointops_tpu.ops import knn as knn_mod
 
     monkeypatch.setattr(knn_mod, "_default_impl", lambda norm: "pallas")
     calls = {}
-    orig = knn_mod._knn_forward_full
+    orig = kp.knn_forward_pallas
 
-    def spy(*a, **k):
-        calls["xla"] = True
-        return orig(*a, **k)
+    def spy(p1, p2, l2, K, norm, *args, **kw):
+        if args or kw:  # chained-round inner calls: pass through unchanged
+            return orig(p1, p2, l2, K, norm, *args, **kw)
+        calls["K"] = K
+        return orig(p1, p2, l2, K, norm, 32, 128, True)  # interpret on CPU
 
-    monkeypatch.setattr(knn_mod, "_knn_forward_full", spy)
+    monkeypatch.setattr(kp, "knn_forward_pallas", spy)
     p1 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 3))
     p2 = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 3))
     out = knn_mod.knn_points(p1, p2, K=100, impl="auto")
-    assert calls.get("xla") and out.idx.shape == (1, 32, 100)
+    assert calls.get("K") == 100 and out.idx.shape == (1, 32, 100)
+    ref = knn_mod.knn_points(p1, p2, K=100, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(out.dists), np.asarray(ref.dists), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out.idx), np.asarray(ref.idx))
 
 
 def test_knn_tiled_matches_full_large_k():

@@ -240,3 +240,66 @@ def test_fps_chunked_compiled_random_inits():
         np.testing.assert_array_equal(
             np.asarray(idx_c), np.asarray(idx_x), err_msg=f"seed {seed}"
         )
+
+
+def test_chamfer_bidir_compiled():
+    """The fused bidirectional chamfer NN kernel, compiled: both directions
+    from one pass must match the XLA twins — exact idx, 1e-6 dists — with
+    ragged lengths cutting inside tiles."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+
+    p1, p2 = _clouds(21, 2, 1100, 2300)
+    l1 = jnp.asarray([1100, 700], jnp.int32)
+    l2 = jnp.asarray([2300, 1500], jnp.int32)
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(p1, p2, l1, l2, 2)
+    rd1, ri1 = _knn_forward_full(p1, p2, l1, l2, 1, 2)
+    rd2, ri2 = _knn_forward_full(p2, p1, l2, l1, 1, 2)
+    for n in range(2):
+        v1, v2 = int(l1[n]), int(l2[n])
+        np.testing.assert_allclose(
+            np.asarray(d1[n, :v1]), np.asarray(rd1[n, :v1, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i1[n, :v1]), np.asarray(ri1[n, :v1, 0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(d2[n, :v2]), np.asarray(rd2[n, :v2, 0]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i2[n, :v2]), np.asarray(ri2[n, :v2, 0])
+        )
+
+
+def test_chamfer_bidir_compiled_duplicate_ties():
+    """Tie stress for the fused kernel's cross-tile strict-< merges in BOTH
+    directions (lowest index must win through the i- and j-resident states)."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        chamfer_nn_bidirectional_pallas,
+    )
+
+    base = jax.random.normal(jax.random.PRNGKey(23), (1, 640, 3), jnp.float32)
+    x = jnp.concatenate([base] * 2, axis=1)  # 1280, every point x2
+    y = jnp.concatenate([base] * 3, axis=1)  # 1920, every point x3
+    lx = jnp.asarray([1280], jnp.int32)
+    ly = jnp.asarray([1920], jnp.int32)
+    d1, i1, d2, i2 = chamfer_nn_bidirectional_pallas(x, y, lx, ly, 2)
+    _, ri1 = _knn_forward_full(x, y, lx, ly, 1, 2)
+    _, ri2 = _knn_forward_full(y, x, ly, lx, 1, 2)
+    np.testing.assert_array_equal(np.asarray(i1[0]), np.asarray(ri1[0, :, 0]))
+    np.testing.assert_array_equal(np.asarray(i2[0]), np.asarray(ri2[0, :, 0]))
+
+
+def test_knn_compiled_chained_big_k():
+    """K=100 > 64 chains two rounds on the chip; tie-heavy quantized clouds
+    make round boundaries split tie groups — order must stay exact."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(29))
+    p1 = jnp.round(jax.random.normal(k1, (1, 1024, 3)) * 2)
+    p2 = jnp.round(jax.random.normal(k2, (1, 2048, 3)) * 2)
+    l1 = jnp.asarray([1024], jnp.int32)
+    l2 = jnp.asarray([2048 - 11], jnp.int32)
+    d, i = knn_forward_pallas(p1, p2, l2, K=100)
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 100, 2)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(rd), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
