@@ -135,6 +135,7 @@ def _knn_kernel(
     width: int,
     gf: int,
     chained: bool = False,
+    deep2: bool = False,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
@@ -143,10 +144,14 @@ def _knn_kernel(
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
     scratch = refs[2 * C :]
-    af = scratch[0::4]
-    ai = scratch[1::4]
-    wm = scratch[2::4]
-    wml = scratch[3::4]
+    ns = 6 if deep2 else 4
+    af = scratch[0::ns]
+    ai = scratch[1::ns]
+    wm = scratch[2::ns]
+    wml = scratch[3::ns]
+    if deep2:
+        af2 = scratch[4::ns]
+        ai2 = scratch[5::ns]
 
     @pl.when(j == 0)
     def _():
@@ -272,19 +277,43 @@ def _knn_kernel(
         # compare + a second minimum fold of masked f32 row ids.
         fire_terms = []
         for c in range(C):
-            h = dw_val(c)
-            for _f in range(n_folds):
-                half = h.shape[0] // 2
-                h = jnp.minimum(h[:half], h[half:])
-            af[c][...] = h
-            # Exact same-group collision detector (round 3): phase 2 can
-            # only have work if some lane admitted MORE candidates than
-            # distinct fold groups (cnt > ng).  Collision-free lanes with
-            # cnt > K are also safe — extraction is globally ascending, so
-            # the K smallest were taken and the rest sit at or above the
-            # new kth.  Skips the whole survivor screen on clean tiles.
-            ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
-            fire_terms.append(jnp.max(cnts[c] - ng))
+            if deep2:
+                # 2-deep fold (round 4): carry (min, 2nd-min) per group with
+                # pure min/max chains — no dual-array SELECT folds, so it
+                # stays on the Mosaic-safe side of the SIGABRT line.  Phase 1
+                # can then retire TWO winners per group and the exact
+                # collision gate weakens to cnt > ng + ng2 (some group must
+                # hold a THIRD admission for phase 2 to have work).
+                h = dw_val(c)
+                h2 = jnp.full(h.shape, _INF, jnp.float32)
+                for _f in range(n_folds):
+                    half = h.shape[0] // 2
+                    a1, b1 = h[:half], h[half:]
+                    a2, b2 = h2[:half], h2[half:]
+                    h = jnp.minimum(a1, b1)
+                    h2 = jnp.minimum(
+                        jnp.maximum(a1, b1), jnp.minimum(a2, b2)
+                    )
+                af[c][...] = h
+                af2[c][...] = h2
+                ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
+                ng2 = jnp.sum((h2 < _INF).astype(jnp.int32), axis=0)
+                fire_terms.append(jnp.max(cnts[c] - ng - ng2))
+            else:
+                h = dw_val(c)
+                for _f in range(n_folds):
+                    half = h.shape[0] // 2
+                    h = jnp.minimum(h[:half], h[half:])
+                af[c][...] = h
+                # Exact same-group collision detector (round 3): phase 2 can
+                # only have work if some lane admitted MORE candidates than
+                # distinct fold groups (cnt > ng).  Collision-free lanes with
+                # cnt > K are also safe — extraction is globally ascending,
+                # so the K smallest were taken and the rest sit at or above
+                # the new kth.  Skips the whole survivor screen on clean
+                # tiles.
+                ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
+                fire_terms.append(jnp.max(cnts[c] - ng))
             if n_folds > 0:
                 gm_b = jnp.concatenate([h] * reps, axis=0)
                 rv = jnp.where(dw_val(c) == gm_b, row_f, 3e38)
@@ -292,8 +321,23 @@ def _knn_kernel(
                     half = rv.shape[0] // 2
                     rv = jnp.minimum(rv[:half], rv[half:])
                 ai[c][...] = rv
+                if deep2:
+                    # Row of each group's SECOND minimum: lowest row whose
+                    # value equals h2, excluding the first winner's row (the
+                    # exclusion only bites when h2 == h — an exact tie).
+                    ai_b = jnp.concatenate([rv] * reps, axis=0)
+                    gm2_b = jnp.concatenate([h2] * reps, axis=0)
+                    rv2 = jnp.where(
+                        (dw_val(c) == gm2_b) & (row_f != ai_b), row_f, 3e38
+                    )
+                    for _f in range(n_folds):
+                        half = rv2.shape[0] // 2
+                        rv2 = jnp.minimum(rv2[:half], rv2[half:])
+                    ai2[c][...] = rv2
             else:
                 ai[c][...] = row_f
+                if deep2:
+                    ai2[c][...] = jnp.full(ai2[c].shape, 3e38, jnp.float32)
             wm[c][...] = jnp.full(wm[c].shape, -_INF, jnp.float32)
             wml[c][...] = jnp.full(wml[c].shape, -1.0, jnp.float32)
 
@@ -317,7 +361,15 @@ def _knn_kernel(
                     upd = (row_gf == g_sel[None, :]) & (
                         mval[None, :] < _INF
                     )
-                    af[c][...] = jnp.where(upd, _INF, av)
+                    if deep2:
+                        # Substitute the group's 2nd-min (value, row) in
+                        # place of the extracted winner so the next sweep
+                        # can retire it; the 2nd-min slot then empties.
+                        af[c][...] = jnp.where(upd, af2[c][...], av)
+                        ai[c][...] = jnp.where(upd, ai2[c][...], ai[c][...])
+                        af2[c][...] = jnp.where(upd, _INF, af2[c][...])
+                    else:
+                        af[c][...] = jnp.where(upd, _INF, av)
                     wm[c][...] = jnp.where(upd, mval[None, :], wm[c][...])
                     wml[c][...] = jnp.where(upd, sub_f[None, :], wml[c][...])
 
@@ -350,13 +402,28 @@ def _knn_kernel(
                     dwv = dw_val(c)
                     f32max = float(jnp.finfo(jnp.float32).max)
                     thr = jnp.where(t_new == _INF, f32max, t_new)
-                    # 3-op lex screen: "lex(dwv,row) > lex(wm,wml)"
-                    # collapses to "dwv >= wm and row != wml" because a tie
-                    # candidate with a LOWER row than the extracted
-                    # watermark cannot exist — extraction retires
-                    # lowest-(value, row) first.  Measured +5% over the
-                    # 5-op form (762k -> 798k q/s).
-                    surv = (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
+                    if deep2:
+                        # With TWO extractions per group the 3-op collapse
+                        # is no longer exact: on an exact value tie between
+                        # the 1st and 2nd winners, the 1st winner's row is
+                        # BELOW the (2nd-winner) watermark row yet equal in
+                        # value — "row != wml" would wrongly resurrect it.
+                        # Full lex compare against the last-extracted
+                        # (value, row) per group stays exact.
+                        surv = (dwv <= thr) & (
+                            (dwv > wm_b)
+                            | ((dwv == wm_b) & (row_f > wml_b))
+                        )
+                    else:
+                        # 3-op lex screen: "lex(dwv,row) > lex(wm,wml)"
+                        # collapses to "dwv >= wm and row != wml" because a
+                        # tie candidate with a LOWER row than the extracted
+                        # watermark cannot exist — extraction retires
+                        # lowest-(value, row) first.  Measured +5% over the
+                        # 5-op form (762k -> 798k q/s).
+                        surv = (
+                            (dwv <= thr) & (dwv >= wm_b) & (row_f != wml_b)
+                        )
                     survs.append(surv)
                     m2s.append(
                         jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0))
@@ -398,7 +465,9 @@ def _knn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "norm", "tile_p1", "tile_p2", "interpret", "gf"),
+    static_argnames=(
+        "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "deep2"
+    ),
 )
 def knn_forward_pallas(
     p1: Array,
@@ -411,6 +480,7 @@ def knn_forward_pallas(
     interpret: bool = False,
     lb: tuple = None,
     gf: int = None,
+    deep2: bool = False,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -492,7 +562,7 @@ def knn_forward_pallas(
 
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
-        width=width, gf=gf, chained=chained,
+        width=width, gf=gf, chained=chained, deep2=deep2,
     )
     out_specs = []
     out_shapes = []
@@ -513,12 +583,9 @@ def knn_forward_pallas(
         ]
     scratch = []
     for _c in range(chains):
-        scratch += [
-            pltpu.VMEM((gf, width), jnp.float32),
-            pltpu.VMEM((gf, width), jnp.float32),
-            pltpu.VMEM((gf, width), jnp.float32),
-            pltpu.VMEM((gf, width), jnp.float32),
-        ]
+        scratch += [pltpu.VMEM((gf, width), jnp.float32)] * (
+            6 if deep2 else 4
+        )
     in_specs = [
         pl.BlockSpec(
             (1, D, CW), lambda n, i, j, _l: (n, 0, i),

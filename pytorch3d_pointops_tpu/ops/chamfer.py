@@ -107,15 +107,49 @@ def _nn_bidir_fwd(x, y, x_lengths, y_lengths, norm):
     return out, (x, y, x_lengths, y_lengths, i1[..., 0], i2[..., 0])
 
 
+def _k1_backward(p1, p2, lengths1, lengths2, idx, norm, g):
+    """K=1 KNN backward (knn.cu:503-515 formulas) with the grad_p2
+    segment-sum done as tiled one-hot MATMULS on the MXU
+    (kernels/chamfer_pallas.py scatter_add_k1_pallas) — for K=1 the one-hot
+    work is O(P1*P2*D), the same order as the forward pass, and it replaces
+    the serialized XLA scatter (and the CUDA atomicAdd) with a deterministic
+    dense contraction."""
+    from ..kernels.chamfer_pallas import scatter_add_k1_pallas
+
+    N, P1 = idx.shape
+    valid = (
+        (jnp.arange(P1, dtype=jnp.int32)[None, :] < lengths1[:, None])
+        & (lengths2[:, None] > 0)
+        & (idx >= 0)
+    )
+    p2_g = jnp.take_along_axis(
+        p2, idx.reshape(N, P1, 1).astype(jnp.int32), axis=1
+    )
+    if norm == 1:
+        sign = jnp.where(p1 > p2_g, 1.0, -1.0)
+        diff = g[..., None] * sign
+    else:
+        diff = 2.0 * g[..., None] * (p1 - p2_g)
+    diff = jnp.where(valid[..., None], diff, 0.0)
+    grad_p2 = scatter_add_k1_pallas(
+        jnp.where(valid, idx, -1), -diff, p2.shape[1]
+    )
+    return diff, grad_p2
+
+
 def _nn_bidir_bwd(norm, res, grads):
     x, y, x_lengths, y_lengths, i1, i2 = res
     gd1, _, gd2, _ = grads
-    gx_a, gy_a = knn_backward(
-        x, y, x_lengths, y_lengths, i1[..., None], norm, gd1[..., None]
-    )
-    gy_b, gx_b = knn_backward(
-        y, x, y_lengths, x_lengths, i2[..., None], norm, gd2[..., None]
-    )
+    if jax.default_backend() == "tpu":
+        gx_a, gy_a = _k1_backward(x, y, x_lengths, y_lengths, i1, norm, gd1)
+        gy_b, gx_b = _k1_backward(y, x, y_lengths, x_lengths, i2, norm, gd2)
+    else:
+        gx_a, gy_a = knn_backward(
+            x, y, x_lengths, y_lengths, i1[..., None], norm, gd1[..., None]
+        )
+        gy_b, gx_b = knn_backward(
+            y, x, y_lengths, x_lengths, i2[..., None], norm, gd2[..., None]
+        )
     return gx_a + gx_b, gy_a + gy_b, None, None
 
 
@@ -239,10 +273,19 @@ def _chamfer_distance_single_direction(
     cham_features_x = None
     if return_features:
         cham_features_x = {}
+        # One gather for ALL feature channels (channel-concatenated) instead
+        # of one per name: the per-gather fixed cost dominates at these
+        # sizes (measured ~1.5 ms/gather at config 3).
+        y_cat = jnp.concatenate(
+            [y_features[name] for name in feature_names], axis=-1
+        )
+        near_cat = knn_gather(y_cat, nn_idx, y_lengths)[..., 0, :]
+        off = 0
         for name in feature_names:
             x_feature = x_features[name]
-            y_feature = y_features[name]
-            x_feature_near = knn_gather(y_feature, nn_idx, y_lengths)[..., 0, :]
+            C = y_features[name].shape[-1]
+            x_feature_near = near_cat[..., off : off + C]
+            off += C
             cos = _cosine_similarity(x_feature, x_feature_near)
             cos = jnp.abs(cos) if abs_cosine else cos
             fd = 1.0 - cos

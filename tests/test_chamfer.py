@@ -259,3 +259,27 @@ def test_fused_bidir_vjp_matches_composed_grads():
     gx, gy, _, _ = _nn_bidir_bwd(2, res, (w1, None, w2, None))
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref), atol=1e-5)
+
+
+def test_k1_backward_matches_knn_backward(monkeypatch):
+    """The MXU one-hot K=1 backward must reproduce knn_backward's grads
+    (both norms, ragged lengths, -1 pads)."""
+    from pytorch3d_pointops_tpu.kernels import chamfer_pallas as cp
+    from pytorch3d_pointops_tpu.ops import chamfer as cham_mod
+    from pytorch3d_pointops_tpu.ops.knn import knn_backward
+
+    orig = cp.scatter_add_k1_pallas
+    monkeypatch.setattr(
+        cp, "scatter_add_k1_pallas",
+        lambda idx, c, P2: orig(idx, c, P2, tile_p1=64, tile_p2=128,
+                                interpret=True),
+    )
+    x, y, l1, l2 = _clouds(jax.random.PRNGKey(77), N=2, P1=40, P2=30)
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, 30, size=(2, 40)).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(2, 40)).astype(np.float32))
+    for norm in (1, 2):
+        gx, gy = cham_mod._k1_backward(x, y, l1, l2, idx, norm, g)
+        rx, ry = knn_backward(x, y, l1, l2, idx[..., None], norm, g[..., None])
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(ry), atol=1e-5)

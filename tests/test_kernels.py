@@ -547,3 +547,27 @@ def test_chamfer_bidir_kernel_multi_tile_grid():
         np.testing.assert_array_equal(
             np.asarray(i2[n, :v2]), np.asarray(ri2[n, :v2, 0])
         )
+
+
+def test_scatter_add_k1_matches_oracle():
+    """The MXU one-hot segment-sum must equal a numpy scatter exactly on
+    structure (1e-5 on sums); -1 targets contribute nothing."""
+    from pytorch3d_pointops_tpu.kernels.chamfer_pallas import (
+        scatter_add_k1_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for (N, P1, P2, C) in [(2, 300, 200, 3), (1, 50, 600, 1), (3, 128, 128, 8)]:
+        idx = rng.integers(-1, P2, size=(N, P1)).astype(np.int32)
+        contrib = rng.normal(size=(N, P1, C)).astype(np.float32)
+        contrib[idx < 0] = 0.0
+        out = scatter_add_k1_pallas(
+            jnp.asarray(idx), jnp.asarray(contrib), P2,
+            tile_p1=64, tile_p2=128, interpret=True,
+        )
+        ref = np.zeros((N, P2, C), np.float32)
+        for n in range(N):
+            for p in range(P1):
+                if idx[n, p] >= 0:
+                    ref[n, idx[n, p]] += contrib[n, p]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
