@@ -476,11 +476,11 @@ def knn_forward_pallas(
     K: int,
     norm: int = 2,
     tile_p1: int = None,
-    tile_p2: int = DEFAULT_TILE_P2,
+    tile_p2: int = None,
     interpret: bool = False,
     lb: tuple = None,
     gf: int = None,
-    deep2: bool = False,
+    deep2: bool = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -514,6 +514,13 @@ def knn_forward_pallas(
     chained = lb is not None
     if chained and K == 1:
         raise ValueError("chained rounds require K > 1")
+    if tile_p2 is None:
+        # Large K prefers wider, flatter tiles: K=64 at 100k measures
+        # 469 ms at 4x128@T2=2048 vs 504 ms at 8x128@T2=1024 (deep2, GF=64);
+        # K<=16 keeps the r3 production shape.
+        tile_p2 = 2048 if K > 32 else DEFAULT_TILE_P2
+        if tile_p1 is None and K > 32:
+            tile_p1 = 512
     auto_tile_p1 = tile_p1 is None
     if auto_tile_p1:
         tile_p1 = DEFAULT_TILE_P1
@@ -559,6 +566,11 @@ def knn_forward_pallas(
         # 512 -> 879/919/1028/1274 ms) — wider fold buffers cost more in
         # fold/recovery than they save in phase-2 collisions.
         gf = _fold_width(tile_p2, _KNN_FOLD_FLOOR)
+    if deep2 is None:
+        # 2-deep folds pay ~3 extra dependent selects per sweep but slash
+        # phase-2 firings; measured at 100k x 100k: K=64 879 -> 504 ms,
+        # K=16 124 -> 128 ms (collisions are already rare at K=16).
+        deep2 = K > 16
 
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
