@@ -47,13 +47,13 @@ def _local_knn(x, y, len2_local, K, norm):
     """Local brute-force KNN of x (N, P1l, D) against a visiting shard
     y (N, P2l, D); returns (dists, local idx) inf-padded to K."""
     P2l = y.shape[1]
-    if jax.default_backend() == "tpu" and K <= 64:
+    if jax.default_backend() == "tpu":
         # Per-device hot loop on a pod: run the Pallas streaming kernel per
         # visiting shard (same in-kernel lengths masking and inf-pad
-        # conventions as the XLA path below, ~35x faster per hop).  K > 64
-        # falls through to XLA — the kernel statically unrolls up to 2*K
-        # extraction sweeps per phase, the same compile-blowup economics
-        # the ops-level auto dispatch gates on.
+        # conventions as the XLA path below, ~35x faster per hop).  Any K:
+        # K > 64 chains 64-key rounds with lexicographic lower bounds
+        # inside the kernel wrapper (round 4), so the ring no longer drops
+        # large K to XLA.
         from ..kernels.knn_pallas import knn_forward_pallas
 
         return knn_forward_pallas(x, y, len2_local, K, norm)
