@@ -103,12 +103,16 @@ def _nn_bidir_kernel(
     col_f = col.astype(jnp.float32)
     xvalid = i * T1 + row < len1  # (T1, 1)
     yvalid = j * T2 + col < len2  # (1, T2)
+    # ONE jointly-masked tile serves both directions: an invalid x ROW only
+    # corrupts its own row minimum (a query the caller masks out anyway),
+    # and an invalid y COLUMN only corrupts its own column minimum —
+    # halving the full-tile select work vs separate dxy/dyx masks.
+    dm = jnp.where(xvalid & yvalid, d, _INF)
 
     # ---- x -> y: row minima over the lane (y) axis ----
-    dxy = jnp.where(yvalid, d, _INF)
-    rmin = jnp.min(dxy, axis=1, keepdims=True)  # (T1, 1)
+    rmin = jnp.min(dm, axis=1, keepdims=True)  # (T1, 1)
     ram = jnp.min(
-        jnp.where(dxy == rmin, col_f, 3e38), axis=1, keepdims=True
+        jnp.where(dm == rmin, col_f, 3e38), axis=1, keepdims=True
     )  # lowest matching column = lowest global y index
 
     @pl.when(j == 0)
@@ -124,10 +128,9 @@ def _nn_bidir_kernel(
     )
 
     # ---- y -> x: column minima over the sublane (x) axis ----
-    dyx = jnp.where(xvalid, d, _INF)
-    cmin = jnp.min(dyx, axis=0, keepdims=True)  # (1, T2)
+    cmin = jnp.min(dm, axis=0, keepdims=True)  # (1, T2)
     cam = jnp.min(
-        jnp.where(dyx == cmin, row_f, 3e38), axis=0, keepdims=True
+        jnp.where(dm == cmin, row_f, 3e38), axis=0, keepdims=True
     )
     gyi = i * T1 + cam  # f32 global x ids (exact < 2**24)
 

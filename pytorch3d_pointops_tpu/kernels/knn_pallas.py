@@ -135,7 +135,7 @@ def _knn_kernel(
     width: int,
     gf: int,
     chained: bool = False,
-    deep2: bool = False,
+    depth: int = 1,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
@@ -144,14 +144,16 @@ def _knn_kernel(
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
     scratch = refs[2 * C :]
-    ns = 6 if deep2 else 4
+    ns = 2 + 2 * depth
     af = scratch[0::ns]
     ai = scratch[1::ns]
     wm = scratch[2::ns]
     wml = scratch[3::ns]
-    if deep2:
-        af2 = scratch[4::ns]
-        ai2 = scratch[5::ns]
+    # Deeper fold levels (round 4): afs[m]/ais[m] hold each group's
+    # (m+1)-th smallest (value, row); phase 1 retires up to ``depth``
+    # winners per group before the phase-2 fallback is needed.
+    afs = [af] + [scratch[4 + 2 * m :: ns] for m in range(depth - 1)]
+    ais = [ai] + [scratch[5 + 2 * m :: ns] for m in range(depth - 1)]
 
     @pl.when(j == 0)
     def _():
@@ -277,67 +279,77 @@ def _knn_kernel(
         # compare + a second minimum fold of masked f32 row ids.
         fire_terms = []
         for c in range(C):
-            if deep2:
-                # 2-deep fold (round 4): carry (min, 2nd-min) per group with
-                # pure min/max chains — no dual-array SELECT folds, so it
-                # stays on the Mosaic-safe side of the SIGABRT line.  Phase 1
-                # can then retire TWO winners per group and the exact
-                # collision gate weakens to cnt > ng + ng2 (some group must
-                # hold a THIRD admission for phase 2 to have work).
-                h = dw_val(c)
-                h2 = jnp.full(h.shape, _INF, jnp.float32)
-                for _f in range(n_folds):
-                    half = h.shape[0] // 2
-                    a1, b1 = h[:half], h[half:]
-                    a2, b2 = h2[:half], h2[half:]
-                    h = jnp.minimum(a1, b1)
-                    h2 = jnp.minimum(
-                        jnp.maximum(a1, b1), jnp.minimum(a2, b2)
+            # depth-deep fold (round 4): carry each group's sorted smallest
+            # ``depth`` values with pure min/max merge networks — no
+            # dual-array SELECT folds, so it stays on the Mosaic-safe side
+            # of the SIGABRT line.  Phase 1 can then retire ``depth``
+            # winners per group and the exact collision gate weakens to
+            # cnt > sum(ng_m) (some group must hold a (depth+1)-th
+            # admission for phase 2 to have work).
+            hs = [dw_val(c)] + [None] * (depth - 1)
+            for m in range(1, depth):
+                hs[m] = jnp.full(hs[0].shape, _INF, jnp.float32)
+            for _f in range(n_folds):
+                half = hs[0].shape[0] // 2
+                a1, b1 = hs[0][:half], hs[0][half:]
+                lo1, hi1 = jnp.minimum(a1, b1), jnp.maximum(a1, b1)
+                new = [lo1]
+                if depth >= 2:
+                    lo2 = jnp.minimum(hs[1][:half], hs[1][half:])
+                    new.append(jnp.minimum(hi1, lo2))
+                if depth >= 3:
+                    # kth of a two-sorted-list merge = min over i+j=k of
+                    # max(A_i, B_j), with A = (lo1 <= lo2 <= ...) and
+                    # B = (hi1 <= hi2 <= ...); hi_m with rank bound > depth
+                    # drops out (hi2 for depth 3, hi3+ always).
+                    lo3 = jnp.minimum(hs[2][:half], hs[2][half:])
+                    m23 = jnp.maximum(lo2, hi1)
+                    if depth == 3:
+                        new.append(jnp.minimum(lo3, m23))
+                    else:
+                        hi2 = jnp.maximum(hs[1][:half], hs[1][half:])
+                        new.append(
+                            jnp.minimum(jnp.minimum(lo3, m23), hi2)
+                        )
+                if depth >= 4:
+                    lo4 = jnp.minimum(hs[3][:half], hs[3][half:])
+                    new.append(
+                        jnp.minimum(
+                            jnp.minimum(lo4, jnp.maximum(lo3, hi1)),
+                            jnp.maximum(lo2, hi2),
+                        )
                     )
-                af[c][...] = h
-                af2[c][...] = h2
-                ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
-                ng2 = jnp.sum((h2 < _INF).astype(jnp.int32), axis=0)
-                fire_terms.append(jnp.max(cnts[c] - ng - ng2))
-            else:
-                h = dw_val(c)
-                for _f in range(n_folds):
-                    half = h.shape[0] // 2
-                    h = jnp.minimum(h[:half], h[half:])
-                af[c][...] = h
-                # Exact same-group collision detector (round 3): phase 2 can
-                # only have work if some lane admitted MORE candidates than
-                # distinct fold groups (cnt > ng).  Collision-free lanes with
-                # cnt > K are also safe — extraction is globally ascending,
-                # so the K smallest were taken and the rest sit at or above
-                # the new kth.  Skips the whole survivor screen on clean
-                # tiles.
-                ng = jnp.sum((h < _INF).astype(jnp.int32), axis=0)
-                fire_terms.append(jnp.max(cnts[c] - ng))
+                hs = new
+            ng_total = None
+            for m in range(depth):
+                afs[m][c][...] = hs[m]
+                ng_m = jnp.sum((hs[m] < _INF).astype(jnp.int32), axis=0)
+                ng_total = ng_m if ng_total is None else ng_total + ng_m
+            fire_terms.append(jnp.max(cnts[c] - ng_total))
             if n_folds > 0:
-                gm_b = jnp.concatenate([h] * reps, axis=0)
-                rv = jnp.where(dw_val(c) == gm_b, row_f, 3e38)
-                for _f in range(n_folds):
-                    half = rv.shape[0] // 2
-                    rv = jnp.minimum(rv[:half], rv[half:])
-                ai[c][...] = rv
-                if deep2:
-                    # Row of each group's SECOND minimum: lowest row whose
-                    # value equals h2, excluding the first winner's row (the
-                    # exclusion only bites when h2 == h — an exact tie).
-                    ai_b = jnp.concatenate([rv] * reps, axis=0)
-                    gm2_b = jnp.concatenate([h2] * reps, axis=0)
-                    rv2 = jnp.where(
-                        (dw_val(c) == gm2_b) & (row_f != ai_b), row_f, 3e38
-                    )
+                # Row recovery per level: lowest row matching that level's
+                # value, excluding the rows already claimed by shallower
+                # levels (the exclusions only bite on exact value ties).
+                prev_rv_bs = []
+                for m in range(depth):
+                    gm_b = jnp.concatenate([hs[m]] * reps, axis=0)
+                    rv = jnp.where(dw_val(c) == gm_b, row_f, 3e38)
+                    for pb in prev_rv_bs:
+                        rv = jnp.where(row_f != pb, rv, 3e38)
                     for _f in range(n_folds):
-                        half = rv2.shape[0] // 2
-                        rv2 = jnp.minimum(rv2[:half], rv2[half:])
-                    ai2[c][...] = rv2
+                        half = rv.shape[0] // 2
+                        rv = jnp.minimum(rv[:half], rv[half:])
+                    ais[m][c][...] = rv
+                    if m + 1 < depth:
+                        prev_rv_bs.append(
+                            jnp.concatenate([rv] * reps, axis=0)
+                        )
             else:
                 ai[c][...] = row_f
-                if deep2:
-                    ai2[c][...] = jnp.full(ai2[c].shape, 3e38, jnp.float32)
+                for m in range(1, depth):
+                    ais[m][c][...] = jnp.full(
+                        ais[m][c].shape, 3e38, jnp.float32
+                    )
             wm[c][...] = jnp.full(wm[c].shape, -_INF, jnp.float32)
             wml[c][...] = jnp.full(wml[c].shape, -1.0, jnp.float32)
 
@@ -361,13 +373,21 @@ def _knn_kernel(
                     upd = (row_gf == g_sel[None, :]) & (
                         mval[None, :] < _INF
                     )
-                    if deep2:
-                        # Substitute the group's 2nd-min (value, row) in
-                        # place of the extracted winner so the next sweep
-                        # can retire it; the 2nd-min slot then empties.
-                        af[c][...] = jnp.where(upd, af2[c][...], av)
-                        ai[c][...] = jnp.where(upd, ai2[c][...], ai[c][...])
-                        af2[c][...] = jnp.where(upd, _INF, af2[c][...])
+                    if depth > 1:
+                        # Shift the group's deeper (value, row) slots up one
+                        # level so the next sweep can retire the next-best;
+                        # the deepest slot empties.
+                        for m in range(depth - 1):
+                            src_af = afs[m + 1][c][...]
+                            src_ai = ais[m + 1][c][...]
+                            cur = av if m == 0 else afs[m][c][...]
+                            afs[m][c][...] = jnp.where(upd, src_af, cur)
+                            ais[m][c][...] = jnp.where(
+                                upd, src_ai, ais[m][c][...]
+                            )
+                        afs[depth - 1][c][...] = jnp.where(
+                            upd, _INF, afs[depth - 1][c][...]
+                        )
                     else:
                         af[c][...] = jnp.where(upd, _INF, av)
                     wm[c][...] = jnp.where(upd, mval[None, :], wm[c][...])
@@ -402,8 +422,8 @@ def _knn_kernel(
                     dwv = dw_val(c)
                     f32max = float(jnp.finfo(jnp.float32).max)
                     thr = jnp.where(t_new == _INF, f32max, t_new)
-                    if deep2:
-                        # With TWO extractions per group the 3-op collapse
+                    if depth > 1:
+                        # With multiple extractions per group the 3-op collapse
                         # is no longer exact: on an exact value tie between
                         # the 1st and 2nd winners, the 1st winner's row is
                         # BELOW the (2nd-winner) watermark row yet equal in
@@ -466,7 +486,7 @@ def _knn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "deep2"
+        "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth"
     ),
 )
 def knn_forward_pallas(
@@ -480,7 +500,7 @@ def knn_forward_pallas(
     interpret: bool = False,
     lb: tuple = None,
     gf: int = None,
-    deep2: bool = None,
+    depth: int = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -566,15 +586,19 @@ def knn_forward_pallas(
         # 512 -> 879/919/1028/1274 ms) — wider fold buffers cost more in
         # fold/recovery than they save in phase-2 collisions.
         gf = _fold_width(tile_p2, _KNN_FOLD_FLOOR)
-    if deep2 is None:
-        # 2-deep folds pay ~3 extra dependent selects per sweep but slash
-        # phase-2 firings; measured at 100k x 100k: K=64 879 -> 504 ms,
-        # K=16 124 -> 128 ms (collisions are already rare at K=16).
-        deep2 = K > 16
+    if depth is None:
+        # Deeper folds pay extra dependent selects per sweep but slash
+        # phase-2 firings; measured at 100k x 100k (v5e, (512,2048,64)):
+        # K=64 depth 1/2/3/4 -> 879/461/264/431 ms, K=32 depth 2/3 ->
+        # 202/178 ms, but K=16 depth2 120.7 vs depth1 118.0 (collisions
+        # already rare at K=16, so K <= 16 stays 1-deep).  depth4's merge
+        # network (3 extra min/max per fold step) costs more than the
+        # phase-2 firings it removes — 3 is the sweet spot.
+        depth = 3 if K > 16 else 1
 
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
-        width=width, gf=gf, chained=chained, deep2=deep2,
+        width=width, gf=gf, chained=chained, depth=depth,
     )
     out_specs = []
     out_shapes = []
@@ -595,9 +619,7 @@ def knn_forward_pallas(
         ]
     scratch = []
     for _c in range(chains):
-        scratch += [pltpu.VMEM((gf, width), jnp.float32)] * (
-            6 if deep2 else 4
-        )
+        scratch += [pltpu.VMEM((gf, width), jnp.float32)] * (2 + 2 * depth)
     in_specs = [
         pl.BlockSpec(
             (1, D, CW), lambda n, i, j, _l: (n, 0, i),
