@@ -571,3 +571,39 @@ def test_scatter_add_k1_matches_oracle():
                 if idx[n, p] >= 0:
                     ref[n, idx[n, p]] += contrib[n, p]
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3, 4])
+@pytest.mark.parametrize("regime", ["rand", "quant", "dup"])
+def test_knn_pallas_fold_depths(depth, regime):
+    """Every fold depth must give exact (value, index) parity — including on
+    quantized and duplicated clouds where the depth-d merge networks and the
+    per-level row recovery exclusions (exact value ties) all fire.  Auto
+    dispatch ships depth 3 for K > 16; depth 4 stays covered as the measured
+    -but-rejected variant."""
+    rng = np.random.default_rng(20 + depth)
+    if regime == "rand":
+        a = rng.normal(size=(2, 100, 3))
+        b = rng.normal(size=(2, 300, 3))
+        K = 8
+    elif regime == "quant":
+        a = rng.integers(0, 2, size=(1, 64, 3))
+        b = rng.integers(0, 2, size=(1, 512, 3))
+        K = 16
+    else:
+        base = rng.normal(size=(1, 40, 3)).astype(np.float32)
+        a = np.repeat(base, 2, axis=1)[:, :64]
+        b = np.repeat(base, 5, axis=1)[:, :160]
+        K = 6
+    p1 = jnp.asarray(np.asarray(a, np.float32))
+    p2 = jnp.asarray(np.asarray(b, np.float32))
+    N, P1 = p1.shape[:2]
+    P2 = p2.shape[1]
+    l1 = jnp.full((N,), P1, jnp.int32)
+    l2 = jnp.asarray([P2 - 13 * i for i in range(N)], jnp.int32)
+    d_pal, i_pal = knn_forward_pallas(
+        p1, p2, l2, K, 2, tile_p1=32, tile_p2=64, interpret=True, depth=depth
+    )
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
