@@ -303,3 +303,20 @@ def test_knn_compiled_chained_big_k():
     rd, ri = _knn_forward_full(p1, p2, l1, l2, 100, 2)
     np.testing.assert_allclose(np.asarray(d), np.asarray(rd), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_knn_compiled_depth3_duplicate_ties():
+    """K=64 auto-dispatches depth-3 folds; duplicated points force exact
+    value ties so the per-level row-recovery exclusions and the sweep-time
+    slot shifting all fire in the COMPILED kernel (interpret-mode coverage
+    lives in tests/test_kernels.py::test_knn_pallas_fold_depths)."""
+    key = jax.random.PRNGKey(31)
+    base = jax.random.normal(key, (1, 512, 3), jnp.float32)
+    p2 = jnp.concatenate([base] * 4, axis=1)  # every point x4
+    p1 = base[:, :256]
+    l1 = jnp.full((1,), 256, jnp.int32)
+    l2 = jnp.full((1,), 2048 - 5, jnp.int32)
+    d, i = knn_forward_pallas(p1, p2, l2, K=64)
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 64, 2)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(rd), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
