@@ -705,19 +705,18 @@ def _knn_forward_pallas_bigk(
     P2 = p2.shape[1]
     Kc = _ROUND_K
     rounds = max(1, -(-min(K, P2) // Kc))
-    lb_d = jnp.full((N, P1), -_INF, jnp.float32)
-    lb_i = jnp.full((N, P1), -1, jnp.int32)
     ds, idxs = [], []
+    lb = None  # round 0's bound is vacuous: run the cheaper unchained kernel
     for _r in range(rounds):
         d, i = knn_forward_pallas(
             p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
-            lb=(lb_d, lb_i), gf=gf,
+            lb=lb, gf=gf,
         )
         ds.append(d)
         idxs.append(i)
         # Exhausted queries carry lb_d = inf: finite distances can never
         # lex-exceed it, so later rounds admit nothing for them.
-        lb_d, lb_i = d[..., -1], i[..., -1]
+        lb = (d[..., -1], i[..., -1])
     d = ds[0] if rounds == 1 else jnp.concatenate(ds, axis=2)
     i = idxs[0] if rounds == 1 else jnp.concatenate(idxs, axis=2)
     if d.shape[2] < K:

@@ -1,0 +1,89 @@
+"""Round-4 decomposition of the chained big-K KNN per-round overhead.
+
+ROOFLINE.md round 4 records ~450-470 ms per chained round vs 264.5 ms for
+the bare (unchained) K=64 round at 100k x 100k.  This script separates the
+two possible causes on the chip:
+
+  1. the lb lex-screen's per-element op cost (measured by running the
+     chained kernel with a VACUOUS bound (-inf, -1): identical admission
+     pattern to bare, identical extra ops), vs
+  2. an admission-distribution change under a REAL round-0 bound (the
+     rank-(64..128] stream admits differently than rank-(0..64]).
+
+Timing follows tune_knn.py conventions: jit, warm-up call, min over
+ITERS timed calls, host fetch via float(sum) (block_until_ready does not
+flush the axon tunnel).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from pytorch3d_pointops_tpu.kernels.knn_pallas import knn_forward_pallas
+
+N, P, D = 1, 100_000, 3
+ITERS = 3
+
+
+def _force(out):
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+
+def timeit(fn, *args):
+    _force(fn(*args))  # warm-up / compile
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.time()
+        _force(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    k = jax.random.PRNGKey(0)
+    p1 = jax.random.normal(jax.random.fold_in(k, 0), (N, P, D), jnp.float32)
+    p2 = jax.random.normal(jax.random.fold_in(k, 1), (N, P, D), jnp.float32)
+    l2 = jnp.full((N,), P, jnp.int32)
+
+    def bare(p1, p2, l2):
+        return knn_forward_pallas(p1, p2, l2, 64)
+
+    t_bare = timeit(bare, p1, p2, l2)
+    print(f"bare K=64 (control):          {t_bare*1e3:8.1f} ms", flush=True)
+
+    lb_vac = (
+        jnp.full((N, P), -float("inf"), jnp.float32),
+        jnp.full((N, P), -1, jnp.int32),
+    )
+
+    def vac(p1, p2, l2, lb_d, lb_i):
+        return knn_forward_pallas(p1, p2, l2, 64, lb=(lb_d, lb_i))
+
+    t_vac = timeit(vac, p1, p2, l2, *lb_vac)
+    print(f"chained, vacuous (-inf) lb:   {t_vac*1e3:8.1f} ms "
+          f"(+{(t_vac-t_bare)*1e3:.1f} = pure screen-op cost)", flush=True)
+
+    d0, i0 = jax.jit(bare)(p1, p2, l2)
+    lb_real = (d0[..., -1], i0[..., -1])
+    _force(lb_real)
+
+    t_real = timeit(vac, p1, p2, l2, *lb_real)
+    print(f"chained, REAL round-0 lb:     {t_real*1e3:8.1f} ms "
+          f"(+{(t_real-t_vac)*1e3:.1f} vs vacuous = admission shift)",
+          flush=True)
+
+    def k128(p1, p2, l2):
+        return knn_forward_pallas(p1, p2, l2, 128)
+
+    t_128 = timeit(k128, p1, p2, l2)
+    print(f"full K=128 (2 rounds):        {t_128*1e3:8.1f} ms "
+          f"(round-1 cost {(t_128 - t_bare)*1e3:.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
