@@ -486,7 +486,8 @@ def _knn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth"
+        "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth",
+        "round_k",
     ),
 )
 def knn_forward_pallas(
@@ -501,6 +502,7 @@ def knn_forward_pallas(
     lb: tuple = None,
     gf: int = None,
     depth: int = None,
+    round_k: int = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -518,6 +520,11 @@ def knn_forward_pallas(
         lb: internal (chained rounds): per-query exclusive lexicographic
             lower bound as (lb_dists (N, P1) f32, lb_idx (N, P1) int32);
             only candidates with (d, idx) lex-above the bound are admitted.
+        round_k: per-round top-K capacity for the chained big-K path
+            (default ``_ROUND_K``).  Larger rounds stream the distance
+            matrix fewer times at the price of a taller VMEM state and a
+            longer static sweep unroll — a measured tradeoff, not a free
+            knob (see scripts/knn_r4_chain.py).
 
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
@@ -525,11 +532,14 @@ def knn_forward_pallas(
     """
     N, P1, D = p1.shape
     P2 = p2.shape[1]
-    if K > _ROUND_K:
+    if round_k is None:
+        round_k = _ROUND_K
+    if K > round_k:
         if lb is not None:
-            raise ValueError("lb is only supported for K <= 64 rounds")
+            raise ValueError("lb is only supported for single-round calls")
         return _knn_forward_pallas_bigk(
-            p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf
+            p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf,
+            round_k=round_k,
         )
     chained = lb is not None
     if chained and K == 1:
@@ -691,7 +701,8 @@ def knn_forward_pallas(
 
 
 def _knn_forward_pallas_bigk(
-    p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf=None
+    p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf=None,
+    round_k=None,
 ):
     """K > 64 via round chaining (all rounds inside one XLA program, one
     kernel compilation): round r re-runs the 64-key kernel admitting only
@@ -703,14 +714,14 @@ def _knn_forward_pallas_bigk(
     (inf, 0) fill, which the caller's pad conventions zero out."""
     N, P1, D = p1.shape
     P2 = p2.shape[1]
-    Kc = _ROUND_K
+    Kc = _ROUND_K if round_k is None else round_k
     rounds = max(1, -(-min(K, P2) // Kc))
     ds, idxs = [], []
     lb = None  # round 0's bound is vacuous: run the cheaper unchained kernel
     for _r in range(rounds):
         d, i = knn_forward_pallas(
             p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
-            lb=lb, gf=gf,
+            lb=lb, gf=gf, round_k=Kc,
         )
         ds.append(d)
         idxs.append(i)

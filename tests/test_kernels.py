@@ -494,6 +494,32 @@ def test_knn_pallas_chained_big_k():
         )
 
 
+def test_knn_pallas_chained_round_k_sizes():
+    """round_k parametrizes the per-round capacity of the chained big-K
+    path (wider rounds stream the distance matrix fewer times).  Any
+    round_k must reproduce the exact global ascending (value, index) order,
+    including a round_k that does NOT divide K and a single-round
+    round_k >= K, on tie-heavy quantized data."""
+    rng = np.random.default_rng(7)
+    p1 = jnp.asarray(rng.integers(0, 3, size=(1, 40, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.integers(0, 3, size=(1, 300, 3)).astype(np.float32))
+    l1 = jnp.asarray([40], jnp.int32)
+    l2 = jnp.asarray([260], jnp.int32)
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 150, 2)
+    for round_k in (48, 128, 160):
+        d, i = knn_forward_pallas(
+            p1, p2, l2, K=150, tile_p1=32, tile_p2=128, interpret=True,
+            round_k=round_k,
+        )
+        np.testing.assert_allclose(
+            np.asarray(d[0]), np.asarray(rd[0]), atol=1e-5,
+            err_msg=f"round_k={round_k}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i[0]), np.asarray(ri[0]), err_msg=f"round_k={round_k}"
+        )
+
+
 def test_knn_pallas_chained_k_exceeds_p2():
     """K > P2: rounds are capped at ceil(P2/64) and the tail carries the
     kernel's (inf, 0) fill for the caller's pad conventions to zero."""
