@@ -11,6 +11,18 @@ grad_p2 (the TPU replacement for knn.cu:467-517's atomicAdd).  Candidates:
              contributions x P2 one-hot work is O(P1*K*P2) = 1.6e13 MXU
              flops at the flagship config, ~1000x the scatter's useful work.
 
+Round-4 additions (attacking the scatter's serialization, not its traffic):
+
+  inbounds — same scatter with ``mode="promise_in_bounds"`` (drops the
+             clamp/select XLA otherwise wraps around every update)
+  ksplit   — K independent scatters of P1 updates each into K private
+             (P2, D) buffers, tree-summed: shorter per-op dependency
+             chains, same total updates
+  dup8     — 8-way split over the flattened contribution stream into 8
+             private buffers, summed: like ksplit but split-axis-agnostic
+  pad8     — single scatter with D padded 3 -> 8 (sublane-aligned update
+             rows; 2.7x the update traffic but aligned)
+
 Also times the backward's non-scatter pieces (gather + diff + grad_p1) in
 isolation so the scatter's true share is measured, not assumed.
 Prints one JSON line per measurement; run on the TPU.
@@ -76,6 +88,38 @@ def backward_variants(p1, p2, lengths1, lengths2, idx, grad_dists, variant):
             )
         if variant == "segsum":
             return jax.ops.segment_sum(vf, fl, num_segments=P2)
+        if variant == "inbounds":
+            return (
+                jnp.zeros((P2, D), jnp.float32)
+                .at[fl]
+                .add(vf, mode="promise_in_bounds")
+            )
+        if variant == "ksplit":
+            # K independent scatters (one per neighbor rank) into private
+            # buffers; XLA may overlap their shorter dependency chains.
+            per_k = jax.vmap(
+                lambda col_i, col_v: jnp.zeros((P2, D), jnp.float32)
+                .at[col_i]
+                .add(col_v, mode="promise_in_bounds")
+            )(i.reshape(-1, K).T, (-v).reshape(-1, K, D).transpose(1, 0, 2))
+            return per_k.sum(axis=0)
+        if variant == "dup8":
+            S = 8
+            fs = fl.reshape(S, -1)
+            vs = vf.reshape(S, -1, D)
+            per_s = jax.vmap(
+                lambda si, sv: jnp.zeros((P2, D), jnp.float32)
+                .at[si]
+                .add(sv, mode="promise_in_bounds")
+            )(fs, vs)
+            return per_s.sum(axis=0)
+        if variant == "pad8":
+            vp = jnp.pad(vf, ((0, 0), (0, 8 - D)))
+            return (
+                jnp.zeros((P2, 8), jnp.float32)
+                .at[fl]
+                .add(vp, mode="promise_in_bounds")[:, :D]
+            )
         raise ValueError(variant)
 
     grad_p2 = jax.vmap(scatter_one)(safe_idx, diff)
@@ -96,7 +140,10 @@ def main():
     g = jnp.ones_like(dists)
 
     results = {}
-    for variant in ("nograd2", "scatter", "sorted", "segsum"):
+    variants = os.environ.get(
+        "BWD_VARIANTS", "nograd2,scatter,sorted,segsum"
+    ).split(",")
+    for variant in variants:
         f = jax.jit(
             lambda a, b, i, gg, v=variant: backward_variants(
                 a, b, ll, ll, i, gg, v

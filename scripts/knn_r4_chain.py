@@ -81,8 +81,38 @@ def main():
         return knn_forward_pallas(p1, p2, l2, 128)
 
     t_128 = timeit(k128, p1, p2, l2)
-    print(f"full K=128 (2 rounds):        {t_128*1e3:8.1f} ms "
+    print(f"full K=128 (2x64 rounds):     {t_128*1e3:8.1f} ms "
           f"(round-1 cost {(t_128 - t_bare)*1e3:.1f})", flush=True)
+
+    # --- round-capacity sweep: wider rounds stream the distance matrix
+    # fewer times at the price of a taller state + longer sweep unroll ---
+    def k128_single(p1, p2, l2):
+        return knn_forward_pallas(p1, p2, l2, 128, round_k=128)
+
+    t_128s = timeit(k128_single, p1, p2, l2)
+    print(f"K=128 SINGLE 128-state round: {t_128s*1e3:8.1f} ms", flush=True)
+
+    for rk in (64, 128):
+
+        def k500(p1, p2, l2, rk=rk):
+            return knn_forward_pallas(p1, p2, l2, 500, round_k=rk)
+
+        t = timeit(k500, p1, p2, l2)
+        rounds = -(-500 // rk)
+        print(f"K=500 round_k={rk} ({rounds} rounds): {t*1e3:8.1f} ms",
+              flush=True)
+
+    if os.environ.get("CHAIN_XLA") == "1":
+        from pytorch3d_pointops_tpu.ops import knn as knn_mod
+
+        l1 = jnp.full((N,), P, jnp.int32)
+
+        def xla500(p1, p2):
+            return knn_mod._knn_forward_tiled(p1, p2, l1, l2, 500, 2)[0]
+
+        t = timeit(jax.jit(xla500), p1, p2)
+        print(f"K=500 XLA tiled (same-session control): {t*1e3:8.1f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
