@@ -31,6 +31,7 @@ from .structures import (
     all_close,
     get_bounding_boxes,
     join_pointclouds_as_batch,
+    make_device,
     join_pointclouds_as_scene,
     offset,
     scale,
@@ -57,6 +58,7 @@ __all__ = [
     "all_close",
     "get_bounding_boxes",
     "join_pointclouds_as_batch",
+    "make_device",
     "join_pointclouds_as_scene",
     "offset",
     "scale",

@@ -3,6 +3,7 @@ from .pointclouds import (
     all_close,
     get_bounding_boxes,
     join_pointclouds_as_batch,
+    make_device,
     join_pointclouds_as_scene,
     offset,
     scale,
@@ -15,6 +16,7 @@ __all__ = [
     "all_close",
     "get_bounding_boxes",
     "join_pointclouds_as_batch",
+    "make_device",
     "join_pointclouds_as_scene",
     "offset",
     "scale",

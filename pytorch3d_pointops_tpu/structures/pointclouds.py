@@ -55,6 +55,28 @@ def _concrete(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def make_device(device) -> jax.Device:
+    """Make an actual ``jax.Device`` from a device given as a string or
+    device object (reference ``point_structure.py:20-38``).
+
+    Strings take the platform[:index] form the reference uses — ``"cpu"``,
+    ``"tpu:1"`` — with a bare platform name resolving to that platform's
+    first device (the analog of the reference assigning the current CUDA
+    device index).  Device objects pass through unchanged.
+    """
+    if isinstance(device, str):
+        platform, _, idx = device.partition(":")
+        devices = jax.devices(platform)
+        i = int(idx) if idx else 0
+        if i >= len(devices):
+            raise ValueError(
+                f"device index {i} out of range: {len(devices)} "
+                f"{platform} device(s) available"
+            )
+        return devices[i]
+    return device
+
+
 class Pointclouds:
     """Batch of up-to-``P``-point clouds with named per-point feature channels.
 
@@ -414,7 +436,11 @@ class Pointclouds:
         (the default) and every array already resident on ``device``, ``self``
         is returned unchanged; otherwise a new object is built.  (Arrays are
         immutable in JAX, so the copy flag only controls object identity.)
+        Strings resolve via ``make_device`` ("cpu", "tpu:0", ...) exactly
+        like the reference's str-or-device contract.
         """
+        if isinstance(device, str):
+            device = make_device(device)
         if not copy:
             arrays = [self._points_padded, self._num_points_per_cloud]
             arrays += list(self._features_padded.values())

@@ -145,6 +145,30 @@ def test_to_copy_flag():
     assert copied.equisized == on_dev.equisized
 
 
+def test_make_device_and_string_to():
+    """Reference point_structure.py:20-38: device may be given as a string
+    (platform[:index]) or a device object; to() accepts both forms."""
+    from pytorch3d_pointops_tpu import make_device
+
+    dev0 = jax.devices("cpu")[0]
+    assert make_device("cpu") == dev0
+    assert make_device("cpu:0") == dev0
+    assert make_device(dev0) == dev0  # device objects pass through
+    # bare platform name == index 0, matching the reference's
+    # current-device assignment for an index-less "cuda"
+    assert make_device("cpu") == make_device("cpu:0")
+    with pytest.raises(ValueError, match="out of range"):
+        make_device(f"cpu:{len(jax.devices('cpu'))}")
+    with pytest.raises(RuntimeError):
+        make_device("no_such_platform")
+
+    pts, feats = _ragged_clouds()
+    pc = Pointclouds(pts, features=feats)
+    on_dev = pc.to("cpu")
+    assert all_close(pc, on_dev)
+    assert on_dev.to("cpu:0") is on_dev  # string form hits the same-device fast path
+
+
 def test_get_cloud_bounds():
     """Reference contract (point_structure.py:938-943): index must be an
     int in [0, N); both out-of-range ends raise ValueError, not IndexError."""
