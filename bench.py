@@ -43,6 +43,31 @@ def _time_min(fn, *args, iters=5):
 
 if __name__ == "__main__":
     import jax
+
+    # The axon tunnel to the chip flaps for hours at a time (round-4 saw a
+    # >5 h outage); a backend-init failure here would lose the round's
+    # bench artifact.  Retry by re-exec (backend-init errors are cached
+    # per-process, so an in-process retry cannot recover) with a bounded
+    # backoff before giving up.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        import sys
+
+        attempt = int(os.environ.get("_BENCH_INIT_ATTEMPT", "0"))
+        max_attempts = int(os.environ.get("BENCH_INIT_RETRIES", "10"))
+        if attempt >= max_attempts:
+            raise
+        print(
+            f"backend init failed (attempt {attempt + 1}/{max_attempts}), "
+            f"retrying in 120 s: {e}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(120)
+        os.environ["_BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     import jax.numpy as jnp
 
     from pytorch3d_pointops_tpu.kernels.knn_pallas import knn_forward_pallas

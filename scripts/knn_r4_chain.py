@@ -92,16 +92,6 @@ def main():
     t_128s = timeit(k128_single, p1, p2, l2)
     print(f"K=128 SINGLE 128-state round: {t_128s*1e3:8.1f} ms", flush=True)
 
-    for rk in (64, 128):
-
-        def k500(p1, p2, l2, rk=rk):
-            return knn_forward_pallas(p1, p2, l2, 500, round_k=rk)
-
-        t = timeit(k500, p1, p2, l2)
-        rounds = -(-500 // rk)
-        print(f"K=500 round_k={rk} ({rounds} rounds): {t*1e3:8.1f} ms",
-              flush=True)
-
     if os.environ.get("CHAIN_XLA") == "1":
         from pytorch3d_pointops_tpu.ops import knn as knn_mod
 
@@ -112,6 +102,28 @@ def main():
 
         t = timeit(jax.jit(xla500), p1, p2)
         print(f"K=500 XLA tiled (same-session control): {t*1e3:8.1f} ms",
+              flush=True)
+
+    # Each config crash-isolated: a compile OOM on a tall-state round_k
+    # must not kill the rest of the sweep (opaque tpu_compile_helper
+    # failures are process-fatal only for the config's python, so any
+    # non-timing failure surfaces as an exception here).  rk=256 runs
+    # LAST: its 256-sweep static unroll is the config most likely to
+    # wedge the remote compiler, so everything else must be measured
+    # before it is attempted.
+    for rk in (64, 128, 256):
+
+        def k500(p1, p2, l2, rk=rk):
+            return knn_forward_pallas(p1, p2, l2, 500, round_k=rk)
+
+        rounds = -(-500 // rk)
+        try:
+            t = timeit(k500, p1, p2, l2)
+        except Exception as e:  # compile OOM / Mosaic lowering failure
+            print(f"K=500 round_k={rk} ({rounds} rounds): FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        print(f"K=500 round_k={rk} ({rounds} rounds): {t*1e3:8.1f} ms",
               flush=True)
 
 
