@@ -520,6 +520,24 @@ def test_knn_pallas_chained_round_k_sizes():
         )
 
 
+def test_knn_pallas_chained_big_k_norm1():
+    """L1 norm through the chained big-K path: the per-round lexicographic
+    (value, index) bounds must chunk the ascending L1 order exactly —
+    integer coords make every |diff| sum collide, so round boundaries land
+    inside tie groups."""
+    rng = np.random.default_rng(3)
+    p1 = jnp.asarray(rng.integers(0, 3, size=(1, 40, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.integers(0, 3, size=(1, 300, 3)).astype(np.float32))
+    l1 = jnp.asarray([40], jnp.int32)
+    l2 = jnp.asarray([280], jnp.int32)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=100, norm=1, tile_p1=32, tile_p2=128, interpret=True
+    )
+    rd, ri = _knn_forward_full(p1, p2, l1, l2, 100, 1)
+    np.testing.assert_allclose(np.asarray(d[0]), np.asarray(rd[0]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i[0]), np.asarray(ri[0]))
+
+
 def test_knn_pallas_chained_k_exceeds_p2():
     """K > P2: rounds are capped at ceil(P2/64) and the tail carries the
     kernel's (inf, 0) fill for the caller's pad conventions to zero."""
