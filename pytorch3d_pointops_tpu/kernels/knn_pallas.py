@@ -113,6 +113,22 @@ _KNN_FOLD_FLOOR = 64
 # ascending (value, index) order chunked by _ROUND_K.
 _ROUND_K = 64
 
+# Sentinel index for ub-seeded states: slots still holding it after the
+# stream are "never filled below the sampled bound" markers.  Real global
+# indices are < P2pad << 2**31 - 1, so it can never collide.
+_SENT = 2**31 - 1
+
+# Sampled kth-distance bound margins (big-K rounds): the per-round state is
+# seeded at tau_r, the m_r-th smallest of an s-point strided sample, where
+# m_r = ceil(mu + SIGMA*sqrt(mu) + ABS) and mu = s*kq_r/len2 is the expected
+# sample count at the target quantile kq_r.  The margin makes
+# P(tau_r < true kq_r-th distance) ~ exp(-SIGMA^2/2)-level per query;
+# failures are *detected* (a _SENT survives in a valid slot) and repaired by
+# one unfiltered rerun, so the margin only tunes the rare-fallback rate —
+# exactness never depends on it.
+_BOUND_MARGIN_SIGMA = 6.0
+_BOUND_MARGIN_ABS = 8.0
+
 
 def _fold_width(tile_p2: int, floor: int = 256) -> int:
     """Width of the folded group-minima buffer: halve while even, down to
@@ -127,7 +143,7 @@ def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
     p2_ref,  # VMEM (1, T2, D) — candidates natural
-    *refs,  # [lb (1,2,C*W) if chained] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
+    *refs,  # [lb (1,2,C*W) if chained] [ub (1,1,C*W) if seeded] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
     K: int,
     norm: int,
     tile_p2: int,
@@ -135,12 +151,15 @@ def _knn_kernel(
     width: int,
     gf: int,
     chained: bool = False,
+    seeded: bool = False,
     depth: int = 1,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
     if chained:
         lb_ref, refs = refs[0], refs[1:]
+    if seeded:
+        ub_ref, refs = refs[0], refs[1:]
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
     scratch = refs[2 * C :]
@@ -158,8 +177,24 @@ def _knn_kernel(
     @pl.when(j == 0)
     def _():
         for c in range(C):
-            out_d[c][...] = jnp.full(out_d[c].shape, _INF, jnp.float32)
-            out_i[c][...] = jnp.zeros(out_i[c].shape, jnp.int32)
+            if seeded:
+                # Seed the sorted state at the per-query sampled kth-bound:
+                # the admission screen (d < state[K-1]) then filters at the
+                # bound from tile 0 instead of waiting K real admissions to
+                # tighten from +inf.  Slots never displaced keep the _SENT
+                # index, which the caller checks to detect a too-tight
+                # bound (tau < true kth) and rerun unfiltered — exact by
+                # construction.  ub arrives already nextafter'ed so d == tau
+                # is admitted (the bound is inclusive).
+                seed = ub_ref[0, 0, c * W : (c + 1) * W]
+                out_d[c][...] = (
+                    jnp.zeros(out_d[c].shape, jnp.float32)
+                    + seed[None, None, :]
+                )
+                out_i[c][...] = jnp.full(out_i[c].shape, _SENT, jnp.int32)
+            else:
+                out_d[c][...] = jnp.full(out_d[c].shape, _INF, jnp.float32)
+                out_i[c][...] = jnp.zeros(out_i[c].shape, jnp.int32)
 
     xt = p1t_ref[0]  # (D, C*W)
     y = p2_ref[0]  # (T2, D)
@@ -487,7 +522,7 @@ def _knn_kernel(
     jax.jit,
     static_argnames=(
         "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth",
-        "round_k",
+        "round_k", "sample_bound", "sample_s",
     ),
 )
 def knn_forward_pallas(
@@ -500,9 +535,12 @@ def knn_forward_pallas(
     tile_p2: int = None,
     interpret: bool = False,
     lb: tuple = None,
+    ub: Array = None,
     gf: int = None,
     depth: int = None,
     round_k: int = None,
+    sample_bound: bool = None,
+    sample_s: int = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -520,11 +558,23 @@ def knn_forward_pallas(
         lb: internal (chained rounds): per-query exclusive lexicographic
             lower bound as (lb_dists (N, P1) f32, lb_idx (N, P1) int32);
             only candidates with (d, idx) lex-above the bound are admitted.
+        ub: optional per-query INCLUSIVE upper bound (N, P1) f32 on the kth
+            distance: the sorted state is seeded at ``nextafter(ub)`` with
+            ``_SENT`` indices, so the admission screen filters at the bound
+            from the first tile.  Slots still holding ``_SENT`` afterwards
+            mark queries whose bound was too tight (fewer than K candidates
+            at or below it) — callers MUST detect those and rerun with
+            ``ub=+inf`` (see ``_knn_forward_pallas_bigk``) for exactness.
         round_k: per-round top-K capacity for the chained big-K path
             (default ``_ROUND_K``).  Larger rounds stream the distance
             matrix fewer times at the price of a taller VMEM state and a
             longer static sweep unroll — a measured tradeoff, not a free
             knob (see scripts/knn_r4_chain.py).
+        sample_bound: big-K path only — seed every round's state with a
+            sampled per-query kth-distance bound (one strided-sample KNN
+            computes all rounds' bounds; a detected-too-tight bound falls
+            back to one unfiltered rerun).  None = auto (on when the sample
+            is at most 1/4 of P2).  sample_s: sample size override.
 
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
@@ -535,15 +585,47 @@ def knn_forward_pallas(
     if round_k is None:
         round_k = _ROUND_K
     if K > round_k:
-        if lb is not None:
-            raise ValueError("lb is only supported for single-round calls")
+        if lb is not None or ub is not None:
+            raise ValueError(
+                "lb/ub are only supported for single-round calls"
+            )
         return _knn_forward_pallas_bigk(
             p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf,
-            round_k=round_k,
+            round_k=round_k, sample_bound=sample_bound, sample_s=sample_s,
         )
     chained = lb is not None
-    if chained and K == 1:
-        raise ValueError("chained rounds require K > 1")
+    seeded = ub is not None
+    if (chained or seeded) and K == 1:
+        raise ValueError("chained/seeded rounds require K > 1")
+    if sample_bound and not chained and not seeded and K > 1:
+        # Single-round sampled seeding (opt-in for K <= round_k; the big-K
+        # path above seeds by default): same bound/detect/fallback scheme
+        # with one quantile.  K=1 is excluded — its min-only fast path has
+        # no admission-gated work for a seed to save.
+        s = sample_s if sample_s is not None else _default_sample_s(P2)
+        if P2 >= 4 * s:
+            taus = _bigk_round_bounds(
+                p1, p2, lengths2, [K], norm, s, interpret, tile_p1, tile_p2
+            )
+            if taus is not None:
+                d, i = knn_forward_pallas(
+                    p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret,
+                    ub=taus[0], gf=gf, depth=depth, round_k=round_k,
+                )
+                k_live = (
+                    jnp.arange(K, dtype=jnp.int32)[None, None, :]
+                    < lengths2[:, None, None]
+                )
+                fail = jnp.any((i == _SENT) & k_live)
+                d, i = jax.lax.cond(
+                    fail,
+                    lambda: knn_forward_pallas(
+                        p1, p2, lengths2, K, norm, tile_p1, tile_p2,
+                        interpret, gf=gf, depth=depth, round_k=round_k,
+                    ),
+                    lambda: (d, i),
+                )
+                return d, jnp.where(i == _SENT, 0, i)
     if tile_p2 is None:
         # Large K prefers wider, flatter tiles: K=64 at 100k measures
         # 469 ms at 4x128@T2=2048 vs 504 ms at 8x128@T2=1024 (deep2, GF=64);
@@ -608,7 +690,7 @@ def knn_forward_pallas(
 
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
-        width=width, gf=gf, chained=chained, depth=depth,
+        width=width, gf=gf, chained=chained, seeded=seeded, depth=depth,
     )
     out_specs = []
     out_shapes = []
@@ -658,6 +740,30 @@ def knn_forward_pallas(
             )
         )
         operands.append(lb_arr)
+    if seeded:
+        # Inclusive bound -> exclusive seed: nextafter keeps d == ub
+        # admissible under the kernel's strict-< screen.  inf pads (and
+        # per-query inf = "no bound") stay inf.  Floor at the smallest
+        # NORMAL f32: nextafter(0) is a denormal the TPU flushes to zero
+        # (turning "admit d == 0" into "admit nothing"); a larger seed is
+        # always safe — it only admits extra sub-denormal candidates, and
+        # the sorted state keeps the exact smallest K regardless.
+        ub_arr = jnp.maximum(
+            jnp.nextafter(ub.astype(jnp.float32), jnp.float32(_INF)),
+            jnp.float32(jnp.finfo(jnp.float32).tiny),
+        )[:, None, :]  # (N, 1, P1)
+        if P1pad != P1:
+            ub_arr = jnp.pad(
+                ub_arr, ((0, 0), (0, 0), (0, P1pad - P1)),
+                constant_values=_INF,
+            )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, CW), lambda n, i, j, _l: (n, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(ub_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -700,9 +806,85 @@ def knn_forward_pallas(
     )
 
 
+def _default_sample_s(P2: int) -> int:
+    """Default strided-sample size for kth-bound seeding: ~P2/16 (the
+    sample pass then costs ~6% of one full round), lane-rounded, clamped
+    to [4096, 65536]."""
+    return min(max(P2 // 16 // 1024 * 1024, 4096), 65536)
+
+
+def _bound_m(mu: float) -> int:
+    """Static sample rank for a target quantile with expected sample count
+    ``mu`` — see _BOUND_MARGIN_* for the tail math."""
+    import math
+
+    return int(
+        math.ceil(
+            mu + _BOUND_MARGIN_SIGMA * math.sqrt(mu) + _BOUND_MARGIN_ABS
+        )
+    )
+
+
+def _bigk_round_bounds(
+    p1, p2, lengths2, kqs, norm, s, interpret, tile_p1, tile_p2
+):
+    """Per-round sampled kth-distance bounds for the chained big-K path.
+
+    One KNN over an s-point strided sample of p2 (run through this very
+    kernel, so the bound shares the exact distance numerics of the main
+    pass) yields, for every round r, ``tau_r`` = the m_r-th smallest sample
+    distance — an upper bound on the true kq_r-th distance except with the
+    tail probability bounded by _BOUND_MARGIN_* (and those rare failures
+    are detected downstream, never silent).  Returns a list of (N, P1) f32
+    bounds (+inf disables filtering: short clouds, exhausted quantiles).
+    """
+    N, P1, _ = p1.shape
+    P2 = p2.shape[1]
+    len_eff = max(P2 // 2, 1)  # worst cloud length the static rank covers
+    m_max = _bound_m(s * kqs[-1] / len_eff)
+    if m_max > min(s, 512):
+        return None  # sample too small for the deepest quantile
+    # Strided sample: any subset gives a valid (detected-if-loose) bound, a
+    # stride just keeps the gather coalesced.  f32 stride math can round;
+    # the clamp keeps indices in range, duplicates only loosen nothing —
+    # filtered clouds have len2 >= len_eff > s, so strides stay distinct.
+    stride = lengths2.astype(jnp.float32)[:, None] / float(s)
+    sidx = jnp.minimum(
+        (jnp.arange(s, dtype=jnp.float32)[None, :] * stride).astype(
+            jnp.int32
+        ),
+        jnp.maximum(lengths2[:, None] - 1, 0),
+    )  # (N, s)
+    p2s = jnp.take_along_axis(p2, sidx[:, :, None], axis=1)  # (N, s, D)
+    len_s = jnp.minimum(lengths2, s)
+    m_pad = -(-m_max // 8) * 8  # sublane-friendly state height
+    d_s, _ = knn_forward_pallas(
+        p1, p2s, len_s, min(m_pad, s), norm, tile_p1, tile_p2,
+        interpret=interpret, sample_bound=False,
+    )  # (N, P1, >=m_max) ascending; exhausted slots carry +inf
+    taus = []
+    mu_all = s * jnp.asarray(kqs, jnp.float32)[None, :] / jnp.maximum(
+        lengths2.astype(jnp.float32)[:, None], 1.0
+    )  # (N, R) per-cloud expected sample counts
+    m_r = jnp.ceil(
+        mu_all
+        + _BOUND_MARGIN_SIGMA * jnp.sqrt(mu_all)
+        + _BOUND_MARGIN_ABS
+    ).astype(jnp.int32)  # (N, R) per-cloud exact ranks
+    usable = (m_r <= m_max) & (lengths2[:, None] >= len_eff)
+    m_r = jnp.clip(m_r, 1, m_max)
+    for r in range(len(kqs)):
+        tau = jnp.take_along_axis(
+            d_s, jnp.broadcast_to(m_r[:, r][:, None, None] - 1, (N, P1, 1)),
+            axis=2,
+        )[..., 0]
+        taus.append(jnp.where(usable[:, r][:, None], tau, _INF))
+    return taus
+
+
 def _knn_forward_pallas_bigk(
     p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf=None,
-    round_k=None,
+    round_k=None, sample_bound=None, sample_s=None,
 ):
     """K > 64 via round chaining (all rounds inside one XLA program, one
     kernel compilation): round r re-runs the 64-key kernel admitting only
@@ -711,28 +893,72 @@ def _knn_forward_pallas_bigk(
     (value, index) order — the order MinK + the reference post-sort produce
     (functions/knn.py:77-89).  Rounds past ceil(min(K, P2)/64) cannot admit
     anything and are skipped; exhausted entries carry the kernel's
-    (inf, 0) fill, which the caller's pad conventions zero out."""
+    (inf, 0) fill, which the caller's pad conventions zero out.
+
+    Round 4: every round's state is additionally SEEDED at a sampled
+    per-query bound on its closing quantile (kq_r = (r+1)*Kc), so the
+    admission window is (lb_r, tau_r] from the first tile — insertion
+    sweeps track the true window content instead of the state-filling
+    transient.  A too-tight bound leaves a ``_SENT`` index in a valid slot;
+    one ``lax.cond`` reruns the whole chain with tau=+inf (the SAME
+    compiled kernel, just inf operands) — results are exact regardless of
+    the sample."""
     N, P1, D = p1.shape
     P2 = p2.shape[1]
     Kc = _ROUND_K if round_k is None else round_k
     rounds = max(1, -(-min(K, P2) // Kc))
-    ds, idxs = [], []
-    lb = None  # round 0's bound is vacuous: run the cheaper unchained kernel
-    for _r in range(rounds):
-        d, i = knn_forward_pallas(
-            p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
-            lb=lb, gf=gf, round_k=Kc,
+
+    def run(taus):
+        ds, idxs = [], []
+        lb = None  # round 0's lower bound is vacuous: run unchained
+        for r in range(rounds):
+            d, i = knn_forward_pallas(
+                p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
+                lb=lb, ub=None if taus is None else taus[r], gf=gf,
+                round_k=Kc,
+            )
+            ds.append(d)
+            idxs.append(i)
+            # Exhausted queries carry lb_d = inf: finite distances can
+            # never lex-exceed it, so later rounds admit nothing for them.
+            lb = (d[..., -1], i[..., -1])
+        d = ds[0] if rounds == 1 else jnp.concatenate(ds, axis=2)
+        i = idxs[0] if rounds == 1 else jnp.concatenate(idxs, axis=2)
+        if d.shape[2] < K:
+            d = jnp.pad(
+                d, ((0, 0), (0, 0), (0, K - d.shape[2])),
+                constant_values=_INF,
+            )
+            i = jnp.pad(i, ((0, 0), (0, 0), (0, K - i.shape[2])))
+        return d[:, :, :K], i[:, :, :K]
+
+    if sample_bound is None:
+        sample_bound = True
+    s = sample_s if sample_s is not None else _default_sample_s(P2)
+    taus = None
+    if sample_bound and P2 >= 4 * s:
+        kqs = [min((r + 1) * Kc, K) for r in range(rounds)]
+        taus = _bigk_round_bounds(
+            p1, p2, lengths2, kqs, norm, s, interpret, tile_p1, tile_p2
         )
-        ds.append(d)
-        idxs.append(i)
-        # Exhausted queries carry lb_d = inf: finite distances can never
-        # lex-exceed it, so later rounds admit nothing for them.
-        lb = (d[..., -1], i[..., -1])
-    d = ds[0] if rounds == 1 else jnp.concatenate(ds, axis=2)
-    i = idxs[0] if rounds == 1 else jnp.concatenate(idxs, axis=2)
-    if d.shape[2] < K:
-        d = jnp.pad(
-            d, ((0, 0), (0, 0), (0, K - d.shape[2])), constant_values=_INF
-        )
-        i = jnp.pad(i, ((0, 0), (0, 0), (0, K - i.shape[2])))
-    return d[:, :, :K], i[:, :, :K]
+    if taus is None:
+        return run(None)
+
+    d, i = run(taus)
+    # A _SENT in any slot the cloud could have filled (k < lengths2) means
+    # that round's bound was too tight for that query — rerun everything
+    # unfiltered.  Legit sentinels (k >= lengths2 exhaustion) are excluded.
+    k_live = (
+        jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        < lengths2[:, None, None]
+    )
+    fail = jnp.any((i == _SENT) & k_live)
+    inf_taus = [jnp.full((N, P1), _INF, jnp.float32)] * rounds
+    d, i = jax.lax.cond(
+        fail, lambda: run(inf_taus), lambda: (d, i)
+    )
+    # Surviving legit sentinels (exhausted clouds) -> the unseeded path's
+    # (inf, 0) fill, preserving the documented contract downstream (ring
+    # merge, pad conventions).
+    i = jnp.where(i == _SENT, 0, i)
+    return d, i

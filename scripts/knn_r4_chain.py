@@ -77,12 +77,22 @@ def main():
           f"(+{(t_real-t_vac)*1e3:.1f} vs vacuous = admission shift)",
           flush=True)
 
-    def k128(p1, p2, l2):
-        return knn_forward_pallas(p1, p2, l2, 128)
+    def k128_nosample(p1, p2, l2):
+        return knn_forward_pallas(p1, p2, l2, 128, sample_bound=False)
 
-    t_128 = timeit(k128, p1, p2, l2)
+    t_128 = timeit(k128_nosample, p1, p2, l2)
     print(f"full K=128 (2x64 rounds):     {t_128*1e3:8.1f} ms "
           f"(round-1 cost {(t_128 - t_bare)*1e3:.1f})", flush=True)
+
+    # --- sampled kth-bound seeding (round 4): every round's state starts
+    # at a strided-sample bound on its closing quantile, so sweeps track
+    # the true admission window instead of the state-filling transient ---
+    def k128_sampled(p1, p2, l2):
+        return knn_forward_pallas(p1, p2, l2, 128)  # auto: sampling on
+
+    t_128sb = timeit(k128_sampled, p1, p2, l2)
+    print(f"K=128 SAMPLED-bound rounds:   {t_128sb*1e3:8.1f} ms "
+          f"({(t_128 - t_128sb)*1e3:+.1f} vs unfiltered)", flush=True)
 
     # --- round-capacity sweep: wider rounds stream the distance matrix
     # fewer times at the price of a taller state + longer sweep unroll ---
@@ -111,19 +121,22 @@ def main():
     # LAST: its 256-sweep static unroll is the config most likely to
     # wedge the remote compiler, so everything else must be measured
     # before it is attempted.
-    for rk in (64, 128, 256):
+    for rk, sb in ((64, True), (64, False), (128, True), (256, True)):
 
-        def k500(p1, p2, l2, rk=rk):
-            return knn_forward_pallas(p1, p2, l2, 500, round_k=rk)
+        def k500(p1, p2, l2, rk=rk, sb=sb):
+            return knn_forward_pallas(
+                p1, p2, l2, 500, round_k=rk, sample_bound=sb
+            )
 
         rounds = -(-500 // rk)
+        tag = "sampled" if sb else "unfiltered"
         try:
             t = timeit(k500, p1, p2, l2)
         except Exception as e:  # compile OOM / Mosaic lowering failure
-            print(f"K=500 round_k={rk} ({rounds} rounds): FAILED "
+            print(f"K=500 round_k={rk} {tag} ({rounds} rounds): FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
-        print(f"K=500 round_k={rk} ({rounds} rounds): {t*1e3:8.1f} ms",
+        print(f"K=500 round_k={rk} {tag} ({rounds} rounds): {t*1e3:8.1f} ms",
               flush=True)
 
 

@@ -651,3 +651,149 @@ def test_knn_pallas_fold_depths(depth, regime):
     d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_knn_pallas_seeded_single_round_exact_kth_bound():
+    """A per-query ub equal to the EXACT kth distance (ties included) must
+    give exact (value, index) parity: the bound is inclusive, so d == ub
+    candidates are admitted and the sentinel-seeded state fills fully."""
+    rng = np.random.default_rng(31)
+    p1 = jnp.asarray(rng.integers(0, 3, size=(2, 40, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.integers(0, 3, size=(2, 200, 3)).astype(np.float32))
+    l1 = jnp.asarray([40, 40], jnp.int32)
+    l2 = jnp.asarray([200, 150], jnp.int32)
+    K = 8
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
+    # The bound must be in the KERNEL's own distance numerics (the oracle's
+    # kth can sit one ulp below the kernel's) — production bounds come from
+    # a sample pass through this same kernel, which is bit-consistent.
+    d_un, i_un = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=64, interpret=True
+    )
+    ub = d_un[..., K - 1]  # exact kth: the tightest valid inclusive bound
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=64, interpret=True, ub=ub
+    )
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_un))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_un))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_knn_pallas_seeded_too_tight_bound_leaves_sentinels():
+    """The raw kernel contract for a too-tight ub: slots that could not fill
+    keep (nextafter(ub), _SENT) so callers can detect and rerun.  Entries
+    below the bound are still the exact prefix of the true result."""
+    from pytorch3d_pointops_tpu.kernels.knn_pallas import _SENT
+
+    rng = np.random.default_rng(32)
+    p1 = jnp.asarray(rng.normal(size=(1, 24, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(1, 120, 3)).astype(np.float32))
+    l1 = jnp.asarray([24], jnp.int32)
+    l2 = jnp.asarray([120], jnp.int32)
+    K = 8
+    d_ref, i_ref = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=8, tile_p2=64, interpret=True
+    )  # kernel-numerics reference (see the exact-kth test above)
+    cut = 4  # bound at the 4th distance: exactly 4 slots can fill
+    ub = d_ref[..., cut - 1]
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=8, tile_p2=64, interpret=True, ub=ub
+    )
+    d, i, d_ref, i_ref = map(np.asarray, (d, i, d_ref, i_ref))
+    np.testing.assert_allclose(d[..., :cut], d_ref[..., :cut], atol=1e-5)
+    np.testing.assert_array_equal(i[..., :cut], i_ref[..., :cut])
+    assert np.all(i[..., cut:] == _SENT)
+    seed = np.maximum(
+        np.nextafter(
+            np.asarray(ub, np.float32)[..., None], np.float32(np.inf)
+        ),
+        np.float32(np.finfo(np.float32).tiny),
+    )
+    np.testing.assert_array_equal(
+        d[..., cut:], np.broadcast_to(seed, d[..., cut:].shape)
+    )
+
+
+def test_knn_pallas_bigk_sampled_bounds_parity():
+    """The sampled-bound big-K path (auto for large P2; forced small here
+    via sample_s) must be exactly the unfiltered chained order, on
+    tie-heavy quantized data with a mixed batch: one full cloud (filtered),
+    one below the len_eff gate (per-cloud filter disabled)."""
+    rng = np.random.default_rng(33)
+    p1 = jnp.asarray(rng.integers(0, 4, size=(2, 40, 3)).astype(np.float32))
+    p2 = jnp.asarray(
+        rng.integers(0, 4, size=(2, 2048, 3)).astype(np.float32)
+    )
+    l1 = jnp.asarray([40, 40], jnp.int32)
+    l2 = jnp.asarray([2048, 700], jnp.int32)  # 700 < P2//2: filter disabled
+    K = 100
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=256, interpret=True,
+        sample_s=256,
+    )
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_knn_pallas_bigk_sampled_bounds_norm1():
+    """L1 big-K through the sampled-bound path: bound numerics must match
+    the main pass's L1 accumulation exactly."""
+    rng = np.random.default_rng(34)
+    p1 = jnp.asarray(rng.normal(size=(1, 30, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(1, 1536, 3)).astype(np.float32))
+    l1 = jnp.asarray([30], jnp.int32)
+    l2 = jnp.asarray([1536], jnp.int32)
+    K = 80
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 1)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=K, norm=1, tile_p1=32, tile_p2=256, interpret=True,
+        sample_s=256,
+    )
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_knn_pallas_bigk_sampled_fallback_repairs_bad_bounds(monkeypatch):
+    """If every sampled bound is absurdly tight, sentinel detection must
+    trigger the unfiltered rerun and the final result stays exact."""
+    from pytorch3d_pointops_tpu.kernels import knn_pallas as kp
+
+    def bad_bounds(p1, p2, lengths2, kqs, norm, s, interpret, tp1, tp2):
+        N, P1, _ = p1.shape
+        return [jnp.full((N, P1), -1.0, jnp.float32) for _ in kqs]
+
+    monkeypatch.setattr(kp, "_bigk_round_bounds", bad_bounds)
+    rng = np.random.default_rng(35)
+    # P1=41 keeps the jit cache from reusing an unpatched trace.
+    p1 = jnp.asarray(rng.normal(size=(1, 41, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(1, 1024, 3)).astype(np.float32))
+    l1 = jnp.asarray([41], jnp.int32)
+    l2 = jnp.asarray([1024], jnp.int32)
+    K = 100
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
+    d, i = kp.knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=256, interpret=True,
+        sample_s=256,
+    )
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_knn_pallas_single_round_sample_bound_opt_in():
+    """sample_bound=True on a K <= 64 call seeds the single round from a
+    sampled bound (the headline-config optimization): exact parity."""
+    rng = np.random.default_rng(36)
+    p1 = jnp.asarray(rng.normal(size=(1, 33, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.normal(size=(1, 1280, 3)).astype(np.float32))
+    l1 = jnp.asarray([33], jnp.int32)
+    l2 = jnp.asarray([1280], jnp.int32)
+    K = 16
+    d_ref, i_ref = _knn_forward_full(p1, p2, l1, l2, K, 2)
+    d, i = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=256, interpret=True,
+        sample_bound=True, sample_s=256,
+    )
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
