@@ -83,11 +83,15 @@ else streams, so P1/P2 are unbounded (1M x 1M works in tile-sized VMEM).
 from __future__ import annotations
 
 import functools
+import logging
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger(__name__)
 
 Array = jnp.ndarray
 
@@ -570,11 +574,19 @@ def knn_forward_pallas(
             matrix fewer times at the price of a taller VMEM state and a
             longer static sweep unroll — a measured tradeoff, not a free
             knob (see scripts/knn_r4_chain.py).
-        sample_bound: big-K path only — seed every round's state with a
-            sampled per-query kth-distance bound (one strided-sample KNN
-            computes all rounds' bounds; a detected-too-tight bound falls
-            back to one unfiltered rerun).  None = auto (on when the sample
-            is at most 1/4 of P2).  sample_s: sample size override.
+        sample_bound: seed the top-K state(s) with a sampled per-query
+            kth-distance bound (one strided-sample KNN computes every
+            round's bound; a detected-too-tight bound falls back to one
+            rerun of the same compiled kernel with +inf bounds).  None =
+            ON for the chained big-K path, OFF for single-round K <=
+            round_k (opt in with True; K=1 has no admission-gated work to
+            save and never seeds).  True is loudly ignored (logger
+            warning) when P2 < 4*s or the deepest quantile outgrows the
+            sample.  Note the sample pass runs even when every cloud's
+            lengths2 < P2//2 later disables its bounds (the usability
+            gate is per-cloud and dynamic) — pass False for heavily
+            padded ragged batches.  sample_s: sample size override
+            (default ~P2/16 in [4096, 65536]).
 
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
@@ -603,29 +615,31 @@ def knn_forward_pallas(
         # with one quantile.  K=1 is excluded — its min-only fast path has
         # no admission-gated work for a seed to save.
         s = sample_s if sample_s is not None else _default_sample_s(P2)
+        taus = None
         if P2 >= 4 * s:
             taus = _bigk_round_bounds(
                 p1, p2, lengths2, [K], norm, s, interpret, tile_p1, tile_p2
             )
-            if taus is not None:
-                d, i = knn_forward_pallas(
+        if taus is None:
+            # Loudly fall through: a silent no-op would contaminate any
+            # seeded-vs-unseeded comparison the caller is running.
+            logger.warning(
+                "sample_bound=True ignored: P2=%d needs >= 4*s=%d (or the "
+                "deepest quantile outgrew the sample) — running unseeded",
+                P2, 4 * s,
+            )
+        else:
+            def seeded_run(ub_r):
+                return knn_forward_pallas(
                     p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret,
-                    ub=taus[0], gf=gf, depth=depth, round_k=round_k,
+                    ub=ub_r, gf=gf, depth=depth, round_k=round_k,
                 )
-                k_live = (
-                    jnp.arange(K, dtype=jnp.int32)[None, None, :]
-                    < lengths2[:, None, None]
-                )
-                fail = jnp.any((i == _SENT) & k_live)
-                d, i = jax.lax.cond(
-                    fail,
-                    lambda: knn_forward_pallas(
-                        p1, p2, lengths2, K, norm, tile_p1, tile_p2,
-                        interpret, gf=gf, depth=depth, round_k=round_k,
-                    ),
-                    lambda: (d, i),
-                )
-                return d, jnp.where(i == _SENT, 0, i)
+
+            d, i = seeded_run(taus[0])
+            inf_tau = jnp.full((N, P1), _INF, jnp.float32)
+            return _repair_sentinels(
+                d, i, lengths2, K, lambda: seeded_run(inf_tau)
+            )
     if tile_p2 is None:
         # Large K prefers wider, flatter tiles: K=64 at 100k measures
         # 469 ms at 4x128@T2=2048 vs 504 ms at 8x128@T2=1024 (deep2, GF=64);
@@ -813,16 +827,34 @@ def _default_sample_s(P2: int) -> int:
     return min(max(P2 // 16 // 1024 * 1024, 4096), 65536)
 
 
+def _rank_formula(mu, sqrt, ceil):
+    """The ONE margin-rank expression — shared by the static m_max
+    (math.*) and the per-cloud jnp ranks, so the ``m_r <= m_max`` usability
+    gate can never drift from the rank it bounds."""
+    return ceil(mu + _BOUND_MARGIN_SIGMA * sqrt(mu) + _BOUND_MARGIN_ABS)
+
+
 def _bound_m(mu: float) -> int:
     """Static sample rank for a target quantile with expected sample count
     ``mu`` — see _BOUND_MARGIN_* for the tail math."""
-    import math
+    return int(_rank_formula(mu, math.sqrt, math.ceil))
 
-    return int(
-        math.ceil(
-            mu + _BOUND_MARGIN_SIGMA * math.sqrt(mu) + _BOUND_MARGIN_ABS
-        )
+
+def _repair_sentinels(d, i, lengths2, K, rerun):
+    """Shared exactness repair for ub-seeded runs: a ``_SENT`` in any slot
+    the cloud could have filled (k < lengths2) means some bound was too
+    tight for some query — one ``lax.cond`` reruns via ``rerun()`` (the
+    same compiled kernel fed +inf bounds).  Legit sentinels (k >= lengths2
+    exhaustion) are excluded from detection and mapped to the unseeded
+    path's (value, 0) fill, preserving the documented contract downstream
+    (ring merge, pad conventions)."""
+    k_live = (
+        jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        < lengths2[:, None, None]
     )
+    fail = jnp.any((i == _SENT) & k_live)
+    d, i = jax.lax.cond(fail, rerun, lambda: (d, i))
+    return d, jnp.where(i == _SENT, 0, i)
 
 
 def _bigk_round_bounds(
@@ -866,11 +898,9 @@ def _bigk_round_bounds(
     mu_all = s * jnp.asarray(kqs, jnp.float32)[None, :] / jnp.maximum(
         lengths2.astype(jnp.float32)[:, None], 1.0
     )  # (N, R) per-cloud expected sample counts
-    m_r = jnp.ceil(
-        mu_all
-        + _BOUND_MARGIN_SIGMA * jnp.sqrt(mu_all)
-        + _BOUND_MARGIN_ABS
-    ).astype(jnp.int32)  # (N, R) per-cloud exact ranks
+    m_r = _rank_formula(mu_all, jnp.sqrt, jnp.ceil).astype(
+        jnp.int32
+    )  # (N, R) per-cloud exact ranks
     usable = (m_r <= m_max) & (lengths2[:, None] >= len_eff)
     m_r = jnp.clip(m_r, 1, m_max)
     for r in range(len(kqs)):
@@ -932,6 +962,7 @@ def _knn_forward_pallas_bigk(
             i = jnp.pad(i, ((0, 0), (0, 0), (0, K - i.shape[2])))
         return d[:, :, :K], i[:, :, :K]
 
+    explicit = sample_bound is True
     if sample_bound is None:
         sample_bound = True
     s = sample_s if sample_s is not None else _default_sample_s(P2)
@@ -942,23 +973,14 @@ def _knn_forward_pallas_bigk(
             p1, p2, lengths2, kqs, norm, s, interpret, tile_p1, tile_p2
         )
     if taus is None:
+        if explicit:
+            logger.warning(
+                "sample_bound=True ignored: P2=%d needs >= 4*s=%d (or the "
+                "deepest quantile outgrew the sample) — running unseeded",
+                P2, 4 * s,
+            )
         return run(None)
 
     d, i = run(taus)
-    # A _SENT in any slot the cloud could have filled (k < lengths2) means
-    # that round's bound was too tight for that query — rerun everything
-    # unfiltered.  Legit sentinels (k >= lengths2 exhaustion) are excluded.
-    k_live = (
-        jnp.arange(K, dtype=jnp.int32)[None, None, :]
-        < lengths2[:, None, None]
-    )
-    fail = jnp.any((i == _SENT) & k_live)
     inf_taus = [jnp.full((N, P1), _INF, jnp.float32)] * rounds
-    d, i = jax.lax.cond(
-        fail, lambda: run(inf_taus), lambda: (d, i)
-    )
-    # Surviving legit sentinels (exhausted clouds) -> the unseeded path's
-    # (inf, 0) fill, preserving the documented contract downstream (ring
-    # merge, pad conventions).
-    i = jnp.where(i == _SENT, 0, i)
-    return d, i
+    return _repair_sentinels(d, i, lengths2, K, lambda: run(inf_taus))

@@ -7,7 +7,7 @@ headline config (100k x 100k, K=16) and at K=64, across sample sizes.
 Expectation from the admission math (see kernels/knn_pallas.py margins):
 at K=16 the absolute margin floor (~8 ranks) dominates the target
 quantile (s*K/n ~ 2 at the default s), so the bound only beats the
-unfiltered E[admissions] = K*ln(n/K) ~ 140 once s >= ~32k — i.e. the
+unfiltered E[admissions] = K*ln(n/K) ~ 140 once s approaches the P2/4 gate — i.e. the
 headline win should be small-to-neutral and the sweep is here to confirm
 or refute that, not to tune a foregone conclusion.  K=64 has 4x the
 quantile for the same margin floor, so seeding should clearly win there.
@@ -59,7 +59,9 @@ def main():
         print(f"K={K:3d} control (unseeded):      {t0*1e3:8.1f} ms",
               flush=True)
 
-        for s in (6144, 16384, 32768):
+        # Max sweepable s is P2//4 = 25000 (the seeding gate; larger s
+        # would be loudly ignored and time the control).
+        for s in (6144, 12288, 24576):
 
             def seeded(p1, p2, l2, K=K, s=s):
                 return knn_forward_pallas(
