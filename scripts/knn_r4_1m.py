@@ -50,6 +50,25 @@ def main():
         t = timeit(fwd, p1, p2, l2)
         print(f"1M x 1M K=16 depth={depth}: {t:7.3f} s", flush=True)
 
+    # Sampled kth-bound seeding at 1M (round 4 second half): expected
+    # admissions 16*ln(P2/16) ~ 177 -> 16*ln(count/16) ~ 62 at s=65536
+    # (count ~ 19*P2/s ~ 290); the sample pass costs ~s/P2 of a distance
+    # pass.  s=131072 halves count's margin share at 2x the sample cost.
+    for s in (65536, 131072):
+
+        def fwd_seeded(p1, p2, l2, s=s):
+            return knn_forward_pallas(
+                p1, p2, l2, K, sample_bound=True, sample_s=s
+            )
+
+        try:
+            t = timeit(fwd_seeded, p1, p2, l2)
+        except Exception as e:
+            print(f"1M x 1M K=16 seeded s={s}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+            continue
+        print(f"1M x 1M K=16 seeded s={s}: {t:7.3f} s", flush=True)
+
 
 if __name__ == "__main__":
     main()
