@@ -472,6 +472,12 @@ class Pointclouds:
         analog of the reference's ``cuda()`` (point_structure.py:880)."""
         return self.to(jax.devices()[0])
 
+    def cuda(self) -> "Pointclouds":
+        """Drop-in compatibility alias for ``accelerator()`` (reference
+        point_structure.py:880): moves to the default accelerator, which
+        here is the TPU rather than a CUDA device."""
+        return self.accelerator()
+
     def extend(self, N: int) -> "Pointclouds":
         if not isinstance(N, int):
             raise ValueError("N must be an integer.")

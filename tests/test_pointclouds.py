@@ -145,6 +145,20 @@ def test_to_copy_flag():
     assert copied.equisized == on_dev.equisized
 
 
+def test_cpu_cuda_accelerator_shortcuts():
+    """Reference point_structure.py:877-880: cpu()/cuda() device shortcuts.
+    cuda() is a drop-in alias for accelerator() (default device here)."""
+    pts, feats = _ragged_clouds()
+    pc = Pointclouds(pts, features=feats)
+    on_cpu = pc.cpu()
+    assert all_close(pc, on_cpu)
+    via_cuda = pc.cuda()
+    via_acc = pc.accelerator()
+    assert all_close(via_cuda, via_acc)
+    dev = jax.devices()[0]
+    assert via_cuda.points_padded().devices() == {dev}
+
+
 def test_make_device_and_string_to():
     """Reference point_structure.py:20-38: device may be given as a string
     (platform[:index]) or a device object; to() accepts both forms."""
