@@ -202,10 +202,17 @@ def _chamfer_distance_single_direction(
     feature_names=None,
     impl: str = "auto",
     nn=None,
+    gather_fn=None,
 ):
     """Reference chamfer.py:85-189.  ``nn`` optionally carries a precomputed
     (dists (N, P1), idx (N, P1)) K=1 nearest-neighbor result (from the fused
-    bidirectional pass) so the distance work is not repeated per direction."""
+    bidirectional pass) so the distance work is not repeated per direction.
+    ``gather_fn`` overrides the neighbor-feature gather (signature of
+    ``knn_gather``) — the ring layer passes its rotating sharded gather here
+    so this reduction/feature body is the single source of chamfer semantics
+    for both the single-chip and the distributed path."""
+    if gather_fn is None:
+        gather_fn = knn_gather
     if feature_names and x_features is not None and y_features is not None:
         for name in feature_names:
             if name not in x_features:
@@ -279,7 +286,7 @@ def _chamfer_distance_single_direction(
         y_cat = jnp.concatenate(
             [y_features[name] for name in feature_names], axis=-1
         )
-        near_cat = knn_gather(y_cat, nn_idx, y_lengths)[..., 0, :]
+        near_cat = gather_fn(y_cat, nn_idx, y_lengths)[..., 0, :]
         off = 0
         for name in feature_names:
             x_feature = x_features[name]
@@ -312,6 +319,37 @@ def _chamfer_distance_single_direction(
                 }
 
     return cham_x, cham_features_x
+
+
+def _combine_directions(
+    cham_x, cham_features_x, cham_y, cham_features_y, point_reduction
+):
+    """Combine the two directional losses (reference chamfer.py:331-362):
+    add | maximum | tuple depending on ``point_reduction``.  Shared by the
+    single-chip and ring paths."""
+    if point_reduction == "max":
+        return jnp.maximum(cham_x, cham_y), None
+    if point_reduction is not None:
+        loss = cham_x + cham_y
+        if cham_features_x is not None:
+            loss_features = {
+                k: cham_features_x[k] + cham_features_y[k]
+                if k in cham_features_y
+                else cham_features_x[k]
+                for k in cham_features_x
+            }
+        else:
+            loss_features = None
+        return loss, loss_features
+    loss = (cham_x, cham_y)
+    if cham_features_x is not None:
+        loss_features = {
+            k: (cham_features_x[k], cham_features_y.get(k))
+            for k in cham_features_x
+        }
+    else:
+        loss_features = None
+    return loss, loss_features
 
 
 def _apply_batch_reduction(cham_x, cham_features_x, weights, batch_reduction):
@@ -394,27 +432,7 @@ def chamfer_distance(
             weights, point_reduction, norm, abs_cosine, feature_names, impl,
             nn=nn_y,
         )
-        if point_reduction == "max":
-            loss = jnp.maximum(cham_x, cham_y)
-            loss_features = None
-        elif point_reduction is not None:
-            loss = cham_x + cham_y
-            if cham_features_x is not None:
-                loss_features = {
-                    k: cham_features_x[k] + cham_features_y[k]
-                    if k in cham_features_y
-                    else cham_features_x[k]
-                    for k in cham_features_x
-                }
-            else:
-                loss_features = None
-        else:
-            loss = (cham_x, cham_y)
-            if cham_features_x is not None:
-                loss_features = {
-                    k: (cham_features_x[k], cham_features_y.get(k))
-                    for k in cham_features_x
-                }
-            else:
-                loss_features = None
+        loss, loss_features = _combine_directions(
+            cham_x, cham_features_x, cham_y, cham_features_y, point_reduction
+        )
     return _apply_batch_reduction(loss, loss_features, weights, batch_reduction)

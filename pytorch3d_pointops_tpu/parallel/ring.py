@@ -393,11 +393,213 @@ def ring_knn_gather(
     return jnp.where(mask[..., None], gathered, 0.0)
 
 
-def _cosine_similarity(a, b, eps=1e-6):
-    dot = (a * b).sum(-1)
-    na = jnp.sqrt((a * a).sum(-1))
-    nb = jnp.sqrt((b * b).sum(-1))
-    return dot / jnp.clip(na * nb, min=eps)
+def _local_nn_bidir(x, y, len1, len2, norm):
+    """Both K=1 NN directions between local x and a visiting y shard from ONE
+    distance evaluation: the fused chamfer kernel on TPU
+    (kernels/chamfer_pallas.py), a jointly-masked distance matrix with
+    row+column minima elsewhere.  Returns raw (d_xy, i_xy, d_yx, i_yx) minima
+    (inf where a side is fully masked); local indices, ties keep the LOWEST
+    index (first-seen-wins, csrc/utils/mink.cuh:62-83)."""
+    if jax.default_backend() == "tpu":
+        from ..kernels.chamfer_pallas import chamfer_nn_bidirectional_pallas
+
+        return chamfer_nn_bidirectional_pallas(x, y, len1, len2, norm)
+    P1l, P2l = x.shape[1], y.shape[1]
+    d = _pairwise_dist(x, y, norm)  # (N, P1l, P2l)
+    rvalid = (
+        jnp.arange(P1l, dtype=jnp.int32)[None, :, None] < len1[:, None, None]
+    )
+    cvalid = (
+        jnp.arange(P2l, dtype=jnp.int32)[None, None, :] < len2[:, None, None]
+    )
+    dm = jnp.where(rvalid & cvalid, d, _INF)
+    d_xy = jnp.min(dm, axis=2)
+    i_xy = jnp.argmin(dm, axis=2).astype(jnp.int32)  # first min = lowest idx
+    d_yx = jnp.min(dm, axis=1)
+    i_yx = jnp.argmin(dm, axis=1).astype(jnp.int32)
+    return d_xy, i_xy, d_yx, i_yx
+
+
+def _ring_nn_bidir_fwd_local(x_loc, y_loc, x_lengths, y_lengths, norm, axis_name):
+    """ONE ring rotation serving BOTH chamfer NN directions (round 5): each
+    y shard travels with its own running (min, argmin) state, so every
+    (x shard, y shard) pair meets exactly once and the per-hop distance tile
+    feeds the x->y row minima AND the visiting shard's y->x column minima —
+    halving distance work and ppermute hops vs two ring-KNN passes (the
+    distributed analog of the fused single-chip kernel)."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P1l, _ = x_loc.shape
+    P2l = y_loc.shape[1]
+    off1 = my * P1l
+    len1_loc = jnp.clip(x_lengths - off1, 0, P1l)
+
+    def hop(carry, t):
+        y, yd, yi, xd, xi = carry
+        owner = (my - t) % n_dev
+        off2 = owner * P2l
+        len2_vis = jnp.clip(y_lengths - off2, 0, P2l)
+        d1, i1, d2, i2 = _local_nn_bidir(x_loc, y, len1_loc, len2_vis, norm)
+        # Lexicographic (value, global index) merges: shards visit in ring
+        # order, not ascending index, so a value-only merge would keep the
+        # earlier-VISITED shard on exact cross-shard ties; the index key
+        # reproduces the single-chip first-seen-wins order bit-exactly.
+        g1 = i1 + off2
+        b1 = (d1 < xd) | ((d1 == xd) & (g1 < xi))
+        xd = jnp.where(b1, d1, xd)
+        xi = jnp.where(b1, g1, xi)
+        g2 = i2 + off1
+        b2 = (d2 < yd) | ((d2 == yd) & (g2 < yi))
+        yd = jnp.where(b2, d2, yd)
+        yi = jnp.where(b2, g2, yi)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        y = lax.ppermute(y, axis_name, perm)
+        yd = lax.ppermute(yd, axis_name, perm)
+        yi = lax.ppermute(yi, axis_name, perm)
+        return (y, yd, yi, xd, xi), None
+
+    init = (
+        y_loc,
+        jnp.full((N, P2l), _INF, jnp.float32),
+        jnp.zeros((N, P2l), jnp.int32),
+        jnp.full((N, P1l), _INF, jnp.float32),
+        jnp.zeros((N, P1l), jnp.int32),
+    )
+    # n_dev rotations = a full cycle: the y shard AND its state end at home.
+    (_, yd, yi, xd, xi), _ = lax.scan(
+        hop, init, jnp.arange(n_dev, dtype=jnp.int32)
+    )
+    return xd, xi, yd, yi
+
+
+def _ring_nn_bidir_bwd_local(
+    x_loc, y_loc, x_lengths, y_lengths, i_xy, gd_xy, i_yx, gd_yx, norm,
+    axis_name,
+):
+    """ONE backward rotation for both directions: the visiting tuple carries
+    (y shard, its y->x idx/grad, its grad accumulator); each hop adds the
+    x->y contributions of local queries whose NN falls in the visiting shard
+    AND the y->x contributions of visiting queries whose NN falls in the
+    local x shard (gradient formulas of knn.cu:503-515)."""
+    n_dev = lax.axis_size(axis_name)
+    my = lax.axis_index(axis_name)
+    N, P1l, D = x_loc.shape
+    P2l = y_loc.shape[1]
+    off1 = my * P1l
+    rows1 = off1 + jnp.arange(P1l, dtype=jnp.int32)
+    valid_x = (
+        (rows1[None, :] < x_lengths[:, None])
+        & (y_lengths[:, None] > 0)
+        & (i_xy >= 0)
+    )
+    g1 = jnp.where(valid_x, gd_xy, 0.0)
+
+    def scatter_one(a_n, i_n, v_n):
+        return a_n.at[i_n].add(v_n)
+
+    def hop(carry, t):
+        y, iy, gy, gy_acc, gx = carry
+        owner = (my - t) % n_dev
+        off2 = owner * P2l
+        # x->y: local queries hitting the visiting shard.
+        in2 = (i_xy >= off2) & (i_xy < off2 + P2l) & valid_x
+        li2 = jnp.clip(i_xy - off2, 0, P2l - 1)
+        p2g = jnp.take_along_axis(y, li2[..., None], axis=1)
+        if norm == 1:
+            diff = g1[..., None] * jnp.where(x_loc > p2g, 1.0, -1.0)
+        else:
+            diff = 2.0 * g1[..., None] * (x_loc - p2g)
+        diff = jnp.where(in2[..., None], diff, 0.0)
+        gx = gx + diff
+        gy_acc = jax.vmap(scatter_one)(gy_acc, li2, -diff)
+
+        # y->x: visiting queries hitting the local x shard.
+        rows2 = off2 + jnp.arange(P2l, dtype=jnp.int32)
+        valid_y = (
+            (rows2[None, :] < y_lengths[:, None])
+            & (x_lengths[:, None] > 0)
+            & (iy >= 0)
+        )
+        g2 = jnp.where(valid_y, gy, 0.0)
+        in1 = (iy >= off1) & (iy < off1 + P1l) & valid_y
+        li1 = jnp.clip(iy - off1, 0, P1l - 1)
+        p1g = jnp.take_along_axis(x_loc, li1[..., None], axis=1)
+        if norm == 1:
+            diff2 = g2[..., None] * jnp.where(y > p1g, 1.0, -1.0)
+        else:
+            diff2 = 2.0 * g2[..., None] * (y - p1g)
+        diff2 = jnp.where(in1[..., None], diff2, 0.0)
+        gy_acc = gy_acc + diff2
+        gx = jax.vmap(scatter_one)(gx, li1, -diff2)
+
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        y = lax.ppermute(y, axis_name, perm)
+        iy = lax.ppermute(iy, axis_name, perm)
+        gy = lax.ppermute(gy, axis_name, perm)
+        gy_acc = lax.ppermute(gy_acc, axis_name, perm)
+        return (y, iy, gy, gy_acc, gx), None
+
+    init = (y_loc, i_yx, gd_yx, jnp.zeros_like(y_loc), jnp.zeros_like(x_loc))
+    (_, _, _, gy_home, gx), _ = lax.scan(
+        hop, init, jnp.arange(n_dev, dtype=jnp.int32)
+    )
+    return gx, gy_home
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ring_nn_bidir(mesh, point_axis, batch_axis, norm):
+    spec_pts = P(batch_axis, point_axis, None)
+    spec_len = P(batch_axis)
+    spec_vec = P(batch_axis, point_axis)
+
+    fwd_sharded = shard_map(
+        functools.partial(
+            _ring_nn_bidir_fwd_local, norm=norm, axis_name=point_axis
+        ),
+        mesh=mesh,
+        in_specs=(spec_pts, spec_pts, spec_len, spec_len),
+        out_specs=(spec_vec, spec_vec, spec_vec, spec_vec),
+        check_vma=False,
+    )
+    bwd_sharded = shard_map(
+        functools.partial(
+            _ring_nn_bidir_bwd_local, norm=norm, axis_name=point_axis
+        ),
+        mesh=mesh,
+        in_specs=(
+            spec_pts, spec_pts, spec_len, spec_len,
+            spec_vec, spec_vec, spec_vec, spec_vec,
+        ),
+        out_specs=(spec_pts, spec_pts),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def nn_bidir(x, y, lx, ly):
+        d1, i1, d2, i2 = fwd_sharded(x, y, lx, ly)
+        d1, i1 = _apply_pad_conventions(
+            d1[..., None], i1[..., None], lx, ly, 1, x.shape[1]
+        )
+        d2, i2 = _apply_pad_conventions(
+            d2[..., None], i2[..., None], ly, lx, 1, y.shape[1]
+        )
+        return d1[..., 0], i1[..., 0], d2[..., 0], i2[..., 0]
+
+    def nn_fwd(x, y, lx, ly):
+        out = nn_bidir(x, y, lx, ly)
+        return out, (x, y, lx, ly, out[1], out[3])
+
+    def nn_bwd(res, grads):
+        x, y, lx, ly, i1, i2 = res
+        gd1, _, gd2, _ = grads
+        gx, gy = bwd_sharded(
+            x, y, lx, ly,
+            i1, gd1.astype(jnp.float32), i2, gd2.astype(jnp.float32),
+        )
+        return gx, gy, None, None
+
+    nn_bidir.defvjp(nn_fwd, nn_bwd)
+    return nn_bidir
 
 
 def ring_chamfer_distance(
@@ -421,31 +623,27 @@ def ring_chamfer_distance(
 ):
     """Chamfer distance with both clouds sharded over the ring axis.
 
-    Composes two ring-KNN(K=1) passes with the standard masked reductions of
-    ``ops.chamfer``; reductions over sharded axes compile to psums over ICI.
-    Named feature channels are scored exactly like ``ops.chamfer`` (cosine
-    distance to the nearest neighbor's feature), with the neighbor features
-    fetched by a differentiable ring gather instead of an all-gather.
+    Round 5: ONE fused ring rotation serves both NN directions (the y shards
+    travel with their running minima — see ``_ring_nn_bidir_fwd_local``), and
+    the reduction/feature/weights semantics are ``ops.chamfer``'s own code
+    (``_chamfer_distance_single_direction`` with a ring ``gather_fn``), so
+    the distributed path can never drift from the single-chip option matrix.
+    Named feature channels fetch neighbor features with a differentiable
+    ring gather instead of an all-gather.
 
     Returns ``loss`` alone when no features are requested (backward
     compatible), else ``(loss, loss_features)``.
     """
-    from ..ops.chamfer import _validate_chamfer_reduction_inputs
+    from ..ops.chamfer import (
+        _apply_batch_reduction,
+        _chamfer_distance_single_direction,
+        _combine_directions,
+        _validate_chamfer_reduction_inputs,
+    )
 
     _validate_chamfer_reduction_inputs(batch_reduction, point_reduction)
-    if weights is not None and not isinstance(weights, jax.core.Tracer):
-        import numpy as _np
-
-        if (_np.asarray(weights) < 0).any():
-            raise ValueError("weights cannot be negative.")
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    N, P1, _ = x.shape
-    P2 = y.shape[1]
-    if x_lengths is None:
-        x_lengths = jnp.full((N,), P1, jnp.int32)
-    if y_lengths is None:
-        y_lengths = jnp.full((N,), P2, jnp.int32)
+    if not (norm == 1 or norm == 2):
+        raise ValueError("Support for 1 or 2 norm.")
     return_features = (
         x_features is not None
         and y_features is not None
@@ -455,88 +653,83 @@ def ring_chamfer_distance(
     if return_features and point_reduction == "max":
         raise ValueError('Features must be None if point_reduction is "max"')
 
-    def one_direction(a, b, la, lb, a_feats, b_feats):
-        nn = ring_knn_points(
-            a, b, la, lb, norm=norm, K=1,
-            mesh=mesh, point_axis=point_axis, batch_axis=batch_axis,
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    N, P1, _ = x.shape
+    P2 = y.shape[1]
+    if x_lengths is None:
+        x_lengths = jnp.full((N,), P1, jnp.int32)
+    if y_lengths is None:
+        y_lengths = jnp.full((N,), P2, jnp.int32)
+    x_lengths = jnp.asarray(x_lengths, jnp.int32)
+    y_lengths = jnp.asarray(y_lengths, jnp.int32)
+
+    # Pad points AND features to ring-size multiples up front; the lengths
+    # masks exclude every pad row from losses, gathers, and gradients.
+    n_ring = mesh.shape[point_axis]
+    P1pad = -(-P1 // n_ring) * n_ring
+    P2pad = -(-P2 // n_ring) * n_ring
+
+    def pad_pts(a, tgt):
+        return (
+            jnp.pad(a, ((0, 0), (0, tgt - a.shape[1]), (0, 0)))
+            if a.shape[1] != tgt
+            else a
         )
-        cham = nn.dists[..., 0]  # (N, Pa)
-        mask = jnp.arange(a.shape[1], dtype=jnp.int32)[None] >= la[:, None]
-        cham = jnp.where(mask, 0.0, cham)
-        if weights is not None:
-            cham = cham * jnp.asarray(weights)[:, None]
 
-        feats = None
-        if return_features:
-            feats = {}
-            for name in feature_names:
-                near = ring_knn_gather(
-                    b_feats[name], nn.idx, lb,
-                    mesh=mesh, point_axis=point_axis, batch_axis=batch_axis,
-                )[..., 0, :]
-                cos = _cosine_similarity(a_feats[name], near)
-                cos = jnp.abs(cos) if abs_cosine else cos
-                fd = jnp.where(mask, 0.0, 1.0 - cos)
-                if weights is not None:
-                    fd = fd * jnp.asarray(weights)[:, None]
-                feats[name] = fd
+    xp, yp = pad_pts(x, P1pad), pad_pts(y, P2pad)
+    xf = yf = None
+    if x_features is not None:
+        xf = {k: pad_pts(jnp.asarray(v), P1pad) for k, v in x_features.items()}
+    if y_features is not None:
+        yf = {k: pad_pts(jnp.asarray(v), P2pad) for k, v in y_features.items()}
 
-        if point_reduction == "max":
-            return cham.max(axis=1), feats
-        if point_reduction is not None:
-            cham = cham.sum(axis=1)
-            if feats is not None:
-                feats = {k: v.sum(axis=1) for k, v in feats.items()}
-            if point_reduction == "mean":
-                la_c = jnp.clip(la, min=1)
-                cham = cham / la_c
-                if feats is not None:
-                    feats = {k: v / la_c for k, v in feats.items()}
-        return cham, feats
+    d1, i1, d2, i2 = _make_ring_nn_bidir(mesh, point_axis, batch_axis, norm)(
+        xp, yp, x_lengths, y_lengths
+    )
 
-    cham_x, feats_x = one_direction(
-        x, y, x_lengths, y_lengths, x_features, y_features
+    def ring_gather(v, idx, lens):
+        return ring_knn_gather(
+            v, idx, lens, mesh=mesh, point_axis=point_axis,
+            batch_axis=batch_axis,
+        )
+
+    cham_x, feats_x = _chamfer_distance_single_direction(
+        xp, yp, x_lengths, y_lengths, xf, yf, weights, point_reduction,
+        norm, abs_cosine, feature_names, nn=(d1, i1), gather_fn=ring_gather,
     )
     if single_directional:
-        loss = cham_x
-        loss_features = feats_x
+        loss, loss_features = cham_x, feats_x
     else:
-        cham_y, feats_y = one_direction(
-            y, x, y_lengths, x_lengths, y_features, x_features
+        cham_y, feats_y = _chamfer_distance_single_direction(
+            yp, xp, y_lengths, x_lengths, yf, xf, weights, point_reduction,
+            norm, abs_cosine, feature_names, nn=(d2, i2),
+            gather_fn=ring_gather,
         )
-        if point_reduction == "max":
-            loss = jnp.maximum(cham_x, cham_y)
-            loss_features = None
-        elif point_reduction is not None:
-            loss = cham_x + cham_y
-            loss_features = (
-                {k: feats_x[k] + feats_y[k] for k in feats_x}
-                if feats_x is not None
-                else None
-            )
-        else:
-            loss = (cham_x, cham_y)
-            loss_features = (
-                {k: (feats_x[k], feats_y[k]) for k in feats_x}
-                if feats_x is not None
-                else None
-            )
+        loss, loss_features = _combine_directions(
+            cham_x, feats_x, cham_y, feats_y, point_reduction
+        )
 
-    if batch_reduction is not None and point_reduction is not None:
-        loss = loss.sum()
-        if loss_features is not None:
-            loss_features = {k: v.sum() for k, v in loss_features.items()}
-        if batch_reduction == "mean":
-            if weights is None:
-                div = max(N, 1)
-            else:
-                wsum = jnp.asarray(weights).sum()
-                div = jnp.where(wsum == 0.0, 1.0, wsum)
-            loss = loss / div
+    if point_reduction is None:
+        # Un-reduced terms keep the caller's original point counts.
+        def trim(v, p):
+            return v[:, :p]
+
+        if single_directional:
+            loss = trim(loss, P1)
+            if loss_features is not None:
+                loss_features = {k: trim(v, P1) for k, v in loss_features.items()}
+        else:
+            loss = (trim(loss[0], P1), trim(loss[1], P2))
             if loss_features is not None:
                 loss_features = {
-                    k: v / div for k, v in loss_features.items()
+                    k: (trim(v[0], P1), trim(v[1], P2))
+                    for k, v in loss_features.items()
                 }
+
+    loss, loss_features = _apply_batch_reduction(
+        loss, loss_features, weights, batch_reduction
+    )
     if return_features:
         return loss, loss_features
     return loss
