@@ -193,8 +193,12 @@ def knn_backward(p1, p2, lengths1, lengths2, idx, norm, grad_dists):
 
     Deterministic equivalent of ``KNearestNeighborBackwardKernel``
     (knn.cu:467-517): per-(n,i,k,d) contributions, with the atomicAdd scatter
-    into grad_p2 replaced by an XLA scatter-add.  Entries with ``idx == -1``
-    (ball_query padding), ``i >= lengths1`` or ``k >= lengths2`` contribute 0.
+    into grad_p2 replaced by a deterministic segment-sum — the banked
+    VMEM-resident Pallas scatter on TPU (kernels/scatter_pallas.py; the XLA
+    scatter is update-serialized: 983 ms at 1M x 1M / K=16 against ~5 ms of
+    useful traffic, ROOFLINE.md backward study), the XLA scatter-add
+    elsewhere.  Entries with ``idx == -1`` (ball_query padding),
+    ``i >= lengths1`` or ``k >= lengths2`` contribute 0.
     """
     N, P1, K = idx.shape
     D = p1.shape[2]
@@ -215,12 +219,23 @@ def knn_backward(p1, p2, lengths1, lengths2, idx, norm, grad_dists):
     diff = jnp.where(valid[..., None], diff, 0.0)
     grad_p1 = diff.sum(axis=2)
 
-    def scatter_one(i, v):
-        return jnp.zeros((p2.shape[1], D), jnp.float32).at[i.reshape(-1)].add(
-            v.reshape(-1, D)
-        )
+    P2 = p2.shape[1]
+    if jax.default_backend() == "tpu" and D <= 8:
+        from ..kernels.scatter_pallas import scatter_add_rows_pallas
 
-    grad_p2 = jax.vmap(scatter_one)(safe_idx, -diff)
+        grad_p2 = scatter_add_rows_pallas(
+            jnp.where(valid, idx, -1).reshape(N, P1 * K),
+            (-diff).reshape(N, P1 * K, D),
+            P2,
+        )
+    else:
+
+        def scatter_one(i, v):
+            return jnp.zeros((P2, D), jnp.float32).at[i.reshape(-1)].add(
+                v.reshape(-1, D)
+            )
+
+        grad_p2 = jax.vmap(scatter_one)(safe_idx, -diff)
     return grad_p1, grad_p2
 
 

@@ -797,3 +797,59 @@ def test_knn_pallas_single_round_sample_bound_opt_in():
     )
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_scatter_add_rows_matches_oracle():
+    """The banked VMEM row scatter (KNN backward's grad_p2 segment-sum) must
+    equal a numpy scatter; -1 targets contribute nothing; duplicate targets
+    accumulate; rows past chunk padding never leak."""
+    from pytorch3d_pointops_tpu.kernels.scatter_pallas import (
+        scatter_add_rows_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    for (N, E, P2, C, chunk, banks) in [
+        (2, 500, 300, 3, 128, 4),
+        (1, 64, 2000, 1, 32, 2),
+        (3, 257, 100, 8, 64, 4),  # heavy duplication: E >> P2
+    ]:
+        idx = rng.integers(-1, P2, size=(N, E)).astype(np.int32)
+        contrib = rng.normal(size=(N, E, C)).astype(np.float32)
+        contrib[idx < 0] = 0.0
+        out = scatter_add_rows_pallas(
+            jnp.asarray(idx), jnp.asarray(contrib), P2,
+            chunk=chunk, banks=banks, interpret=True,
+        )
+        ref = np.zeros((N, P2, C), np.float32)
+        for n in range(N):
+            for e in range(E):
+                if idx[n, e] >= 0:
+                    ref[n, idx[n, e]] += contrib[n, e]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_scatter_add_rows_multi_page_and_determinism():
+    """Targets spanning several (8, 128) pages land on the right rows, and
+    two runs are bit-identical (the determinism contract that replaces the
+    CUDA atomicAdd nondeterminism, knn.cu:537-538)."""
+    from pytorch3d_pointops_tpu.kernels.scatter_pallas import (
+        scatter_add_rows_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    N, E, P2, C = 1, 400, 5000, 3  # 5 pages
+    idx = rng.integers(0, P2, size=(N, E)).astype(np.int32)
+    # Force known collisions on a cross-page boundary row.
+    idx[0, :10] = 1024
+    contrib = rng.normal(size=(N, E, C)).astype(np.float32)
+    a = scatter_add_rows_pallas(
+        jnp.asarray(idx), jnp.asarray(contrib), P2, interpret=True
+    )
+    b = scatter_add_rows_pallas(
+        jnp.asarray(idx), jnp.asarray(contrib), P2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref = np.zeros((N, P2, C), np.float32)
+    for e in range(E):
+        ref[0, idx[0, e]] += contrib[0, e]
+    np.testing.assert_allclose(np.asarray(a), ref, atol=1e-4)
