@@ -157,6 +157,7 @@ def _knn_kernel(
     chained: bool = False,
     seeded: bool = False,
     depth: int = 1,
+    instrument: bool = False,
 ):
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
@@ -166,7 +167,28 @@ def _knn_kernel(
         ub_ref, refs = refs[0], refs[1:]
     out_d = refs[0 : 2 * C : 2]
     out_i = refs[1 : 2 * C : 2]
-    scratch = refs[2 * C :]
+    if instrument:
+        # (1, 8, 128) f32 counter block, resident across the j stream like
+        # the top-K states; lane layout in _COUNTER_LANES.  Statically
+        # compiled OUT of the production kernel (instrument=False).
+        cnt_ref = refs[2 * C]
+        scratch = refs[2 * C + 1 :]
+        cnt_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def _cnt_row(pairs):
+            row = jnp.zeros((1, 128), jnp.float32)
+            for lane, val in pairs:
+                row = row + jnp.where(
+                    cnt_lane == lane, val.astype(jnp.float32), 0.0
+                )
+            return row
+
+        @pl.when(j == 0)
+        def _():
+            cnt_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+
+    else:
+        scratch = refs[2 * C :]
     ns = 2 + 2 * depth
     af = scratch[0::ns]
     ai = scratch[1::ns]
@@ -272,6 +294,18 @@ def _knn_kernel(
     maxc = jnp.minimum(
         functools.reduce(jnp.maximum, [jnp.max(cn) for cn in cnts]), K
     )
+    if instrument:
+        total_cnt = functools.reduce(
+            lambda a, b: a + b, [jnp.sum(cn) for cn in cnts]
+        )
+        cnt_ref[0, 0, 0:1, :] = cnt_ref[0, 0, 0:1, :] + _cnt_row(
+            [
+                (0, jnp.int32(1)),  # tiles visited
+                (1, (maxc > 0).astype(jnp.int32)),  # winning tiles
+                (2, maxc),  # phase-1 sweeps executed
+                (3, total_cnt),  # admissions (threshold-screen passers)
+            ]
+        )
 
     krow = jax.lax.broadcasted_iota(jnp.int32, (K, W), 0)
     row_gf = jax.lax.broadcasted_iota(jnp.int32, (GF, W), 0)
@@ -488,6 +522,13 @@ def _knn_kernel(
                         jnp.max(jnp.sum(surv.astype(jnp.int32), axis=0))
                     )
                 maxc2 = jnp.minimum(functools.reduce(jnp.maximum, m2s), K)
+                if instrument:
+                    cnt_ref[0, 0, 0:1, :] = cnt_ref[0, 0, 0:1, :] + _cnt_row(
+                        [
+                            (4, jnp.int32(1)),  # phase-2 firings
+                            (5, maxc2),  # phase-2 sweeps executed
+                        ]
+                    )
 
                 @pl.when(maxc2 > 0)
                 def _():
@@ -522,11 +563,26 @@ def _knn_kernel(
                                 wml[c][0:1] = am_f[None, :]
 
 
+# Lane layout of the per-(n, i)-block instrumentation counters (f32 sums,
+# exact: per-block magnitudes stay far below 2**24):
+#   0 tiles visited, 1 winning tiles (maxc > 0), 2 phase-1 sweeps executed,
+#   3 admissions (threshold-screen passers), 4 phase-2 firings,
+#   5 phase-2 sweeps executed.
+_COUNTER_LANES = {
+    "tiles": 0,
+    "winning_tiles": 1,
+    "p1_sweeps": 2,
+    "admissions": 3,
+    "p2_firings": 4,
+    "p2_sweeps": 5,
+}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth",
-        "round_k", "sample_bound", "sample_s",
+        "round_k", "sample_bound", "sample_s", "instrument",
     ),
 )
 def knn_forward_pallas(
@@ -545,6 +601,7 @@ def knn_forward_pallas(
     round_k: int = None,
     sample_bound: bool = None,
     sample_s: int = None,
+    instrument: bool = False,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -588,14 +645,27 @@ def knn_forward_pallas(
             padded ragged batches.  sample_s: sample size override
             (default ~P2/16 in [4096, 65536]).
 
+        instrument: when True, additionally return per-(n, query-block)
+            counter blocks (N, nb, 8, 128) f32 — row 0, lanes per
+            ``_COUNTER_LANES`` — measuring tiles, winning tiles, executed
+            phase-1/2 sweeps, phase-2 firings and admissions on the REAL
+            kernel (the ROOFLINE.md floor decomposition's measured
+            counterpart).  Statically compiled out when False; single-round
+            K > 1 calls only.
+
     Returns:
         (dists (N, P1, K) ascending, idx (N, P1, K) int32).  No lengths1/pad
         post-processing — callers apply the reference pad conventions.
+        With ``instrument=True``: (dists, idx, counters).
     """
     N, P1, D = p1.shape
     P2 = p2.shape[1]
     if round_k is None:
         round_k = _ROUND_K
+    if instrument and (K == 1 or K > round_k or sample_bound):
+        raise ValueError(
+            "instrument=True supports single-round, unsampled K > 1 calls"
+        )
     if K > round_k:
         if lb is not None or ub is not None:
             raise ValueError(
@@ -705,6 +775,7 @@ def knn_forward_pallas(
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
         width=width, gf=gf, chained=chained, seeded=seeded, depth=depth,
+        instrument=instrument,
     )
     out_specs = []
     out_shapes = []
@@ -723,6 +794,16 @@ def knn_forward_pallas(
             jax.ShapeDtypeStruct((N, K, nb * width), jnp.float32),
             jax.ShapeDtypeStruct((N, K, nb * width), jnp.int32),
         ]
+    if instrument:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda n, i, j, _l: (n, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((N, nb, 8, 128), jnp.float32)
+        )
     scratch = []
     for _c in range(chains):
         scratch += [pltpu.VMEM((gf, width), jnp.float32)] * (2 + 2 * depth)
@@ -801,6 +882,7 @@ def knn_forward_pallas(
         interpret=interpret,
     )(*operands)
 
+    counters = outs[2 * chains] if instrument else None
     if chains == 1:
         d_full, i_full = outs[0], outs[1]
     else:
@@ -811,13 +893,14 @@ def knn_forward_pallas(
             st = jnp.stack(arrs, axis=3).reshape(N, K, nb, width, chains)
             return jnp.moveaxis(st, 4, 3).reshape(N, K, P1pad)
 
-        d_full = deinterleave(outs[0::2])
-        i_full = deinterleave(outs[1::2])
+        d_full = deinterleave(outs[0 : 2 * chains : 2])
+        i_full = deinterleave(outs[1 : 2 * chains : 2])
 
-    return (
-        jnp.swapaxes(d_full, 1, 2)[:, :P1],
-        jnp.swapaxes(i_full, 1, 2)[:, :P1],
-    )
+    d_out = jnp.swapaxes(d_full, 1, 2)[:, :P1]
+    i_out = jnp.swapaxes(i_full, 1, 2)[:, :P1]
+    if instrument:
+        return d_out, i_out, counters
+    return d_out, i_out
 
 
 def _default_sample_s(P2: int) -> int:

@@ -853,3 +853,36 @@ def test_scatter_add_rows_multi_page_and_determinism():
     for e in range(E):
         ref[0, idx[0, e]] += contrib[0, e]
     np.testing.assert_allclose(np.asarray(a), ref, atol=1e-4)
+
+
+def test_knn_instrument_counters_consistent():
+    """instrument=True must not change results, and the counters must
+    satisfy the structural invariants (tiles per block = grid depth,
+    winning <= tiles, sweeps >= winning, firings <= winning)."""
+    from pytorch3d_pointops_tpu.kernels.knn_pallas import _COUNTER_LANES
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    N, P1, P2, K = 2, 64, 256, 8
+    p1 = jax.random.normal(k1, (N, P1, 3), jnp.float32)
+    p2 = jax.random.normal(k2, (N, P2, 3), jnp.float32)
+    l2 = jnp.asarray([P2, P2 - 37], jnp.int32)
+    d0, i0 = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=64, interpret=True
+    )
+    d1, i1, cnt = knn_forward_pallas(
+        p1, p2, l2, K=K, tile_p1=32, tile_p2=64, interpret=True,
+        instrument=True,
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    c = np.asarray(cnt)[:, :, 0, :]  # (N, nb, 128)
+    L = _COUNTER_LANES
+    nJ = P2 // 64
+    assert (c[:, :, L["tiles"]] == nJ).all()
+    assert (c[:, :, L["winning_tiles"]] <= c[:, :, L["tiles"]]).all()
+    assert (c[:, :, L["p1_sweeps"]] >= c[:, :, L["winning_tiles"]]).all()
+    assert (c[:, :, L["p2_firings"]] <= c[:, :, L["winning_tiles"]]).all()
+    assert (c[:, :, L["p2_sweeps"]] <= K * c[:, :, L["p2_firings"]]).all()
+    # Every query admits at least K candidates overall (P2 >= K here), so
+    # each block's admissions must be >= K (they are summed over lanes).
+    assert (c[:, :, L["admissions"]] >= K).all()
