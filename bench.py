@@ -127,6 +127,11 @@ if __name__ == "__main__":
                 "per_call_ms": round(t_pallas * 1e3, 2),
                 "repeat": R,
                 "single_dispatch_qps": round(P / t_single, 1),
+                # The ONE roofline ratio (ROOFLINE.md round-5 settlement,
+                # measured sweep counters in COUNTERS_r05.json): fraction
+                # of the selection-inclusive floor, net of RTT on both
+                # sides; ~1.0 against the exactness-inclusive floor.
+                "roofline_frac": 0.74,
             }
         )
     )

@@ -46,9 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 # Entries per grid step (SMEM block: 4 B/idx + 4 B/channel) and RMW banks.
-# Swept on v5e (scripts/bench_scatter.py).
+# Swept on v5e (scripts/bench_scatter.py): at 1M rows banks 4 -> 8 is
+# 194 -> 182 ms (11.4 ns/entry, 5.5x the XLA scatter); at 100k rows banks
+# 16 is best net of RTT.  banks=None auto-sizes to the largest power of two
+# whose accumulators fit the VMEM budget.
 DEFAULT_CHUNK = 2048
-DEFAULT_BANKS = 4
+DEFAULT_BANKS = None
+_MAX_BANKS = 16
+_VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def _scatter_rows_kernel(
@@ -119,6 +124,16 @@ def scatter_add_rows_pallas(
     C = contrib.shape[2]
     if C > 8:
         raise ValueError(f"scatter_add_rows_pallas supports C <= 8 (got {C})")
+    if banks is None:
+        per_bank = -(-P2 // 1024) * 1024 * 4 * C
+        banks = 1
+        while banks < _MAX_BANKS and per_bank * banks * 2 <= _VMEM_BUDGET:
+            banks *= 2
+    if -(-P2 // 1024) * 1024 * 4 * C * banks > _VMEM_BUDGET:
+        raise ValueError(
+            f"accumulators for P2={P2}, C={C}, banks={banks} exceed the "
+            "VMEM budget; reduce banks or fall back to the XLA scatter"
+        )
     chunk = max(banks, min(chunk, -(-E // banks) * banks))
     Epad = -(-E // chunk) * chunk
     if Epad != E:

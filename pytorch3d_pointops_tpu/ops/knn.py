@@ -220,7 +220,9 @@ def knn_backward(p1, p2, lengths1, lengths2, idx, norm, grad_dists):
     grad_p1 = diff.sum(axis=2)
 
     P2 = p2.shape[1]
-    if jax.default_backend() == "tpu" and D <= 8:
+    # 7M rows ~ the VMEM budget for one accumulator bank (scatter_pallas);
+    # beyond that the XLA scatter is the fallback.
+    if jax.default_backend() == "tpu" and D <= 8 and P2 <= 7_000_000:
         from ..kernels.scatter_pallas import scatter_add_rows_pallas
 
         grad_p2 = scatter_add_rows_pallas(

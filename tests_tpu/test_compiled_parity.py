@@ -320,3 +320,70 @@ def test_knn_compiled_depth3_duplicate_ties():
     rd, ri = _knn_forward_full(p1, p2, l1, l2, 64, 2)
     np.testing.assert_allclose(np.asarray(d), np.asarray(rd), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_scatter_add_rows_compiled_parity():
+    """The banked VMEM row scatter (round 5, KNN backward grad_p2) compiled
+    on the chip: exact vs the XLA scatter, duplicate-heavy targets, -1
+    skips, and bit-determinism across two dispatches."""
+    from pytorch3d_pointops_tpu.kernels.scatter_pallas import (
+        scatter_add_rows_pallas,
+    )
+
+    k = jax.random.PRNGKey(33)
+    N, E, P2, C = 2, 20_000, 3000, 3
+    idx = jax.random.randint(k, (N, E), -1, P2, jnp.int32)
+    v = jax.random.normal(jax.random.fold_in(k, 1), (N, E, C), jnp.float32)
+    v = jnp.where((idx >= 0)[..., None], v, 0.0)
+    out = scatter_add_rows_pallas(idx, v, P2)
+    out2 = scatter_add_rows_pallas(idx, v, P2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def one(i, vv):
+        return jnp.zeros((P2, C), jnp.float32).at[jnp.maximum(i, 0)].add(vv)
+
+    ref = jax.vmap(one)(idx, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-3
+    )
+
+
+def test_knn_backward_compiled_uses_pallas_scatter():
+    """End-to-end knn_points VJP on the chip (the public op routes grad_p2
+    through the Pallas scatter on TPU backends): gradients match the
+    finite-problem XLA backward computed off the same forward."""
+    from pytorch3d_pointops_tpu.ops.knn import knn_backward, knn_points
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(34))
+    N, P1, P2, K = 1, 2048, 4096, 8
+    p1 = jax.random.normal(k1, (N, P1, 3), jnp.float32)
+    p2 = jax.random.normal(k2, (N, P2, 3), jnp.float32)
+
+    def loss(a, b):
+        nn = knn_points(a, b, K=K)
+        return (nn.dists * (1.0 + 0.1 * nn.dists)).sum()
+
+    g1, g2 = jax.jit(jax.grad(loss, argnums=(0, 1)))(p1, p2)
+    # Oracle: same formulas through the XLA scatter path (forced off-TPU
+    # branch by calling knn_backward pieces directly with numpy).
+    nn = knn_points(p1, p2, K=K)
+    gd = 1.0 + 0.2 * nn.dists
+    l1 = jnp.full((N,), P1, jnp.int32)
+    l2 = jnp.full((N,), P2, jnp.int32)
+    rg1, rg2 = knn_backward(p1, p2, l1, l2, nn.idx, 2, gd)
+    # XLA-scatter replay of grad_p2 on the host:
+    import numpy as onp
+
+    diff = onp.asarray(rg1)  # grad_p1 path identical in both branches
+    np.testing.assert_allclose(onp.asarray(g1), diff, atol=1e-3)
+    idx = onp.asarray(nn.idx)
+    gdn = onp.asarray(gd)
+    p1n, p2n = onp.asarray(p1), onp.asarray(p2)
+    ref2 = onp.zeros((N, P2, 3), onp.float32)
+    for n in range(N):
+        for i in range(P1):
+            for kk in range(K):
+                j = idx[n, i, kk]
+                ref2[n, j] -= 2.0 * gdn[n, i, kk] * (p1n[n, i] - p2n[n, j])
+    np.testing.assert_allclose(onp.asarray(rg2), ref2, atol=1e-2)
+    np.testing.assert_allclose(onp.asarray(g2), ref2, atol=1e-2)
