@@ -147,7 +147,7 @@ def _knn_kernel(
     lengths2_ref,  # scalar-prefetch SMEM (N,) int32
     p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
     p2_ref,  # VMEM (1, T2, D) — candidates natural
-    *refs,  # [lb (1,2,C*W) if chained] [ub (1,1,C*W) if seeded] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
+    *refs,  # [lb (1,3,C*W) if chained] [ub (1,1,C*W) if seeded] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
     K: int,
     norm: int,
     tile_p2: int,
@@ -275,8 +275,17 @@ def _knn_kernel(
     # additionally require candidates lexicographically ABOVE the previous
     # round's per-query (kth value, kth index) bound, so round r returns
     # exactly entries (r*K, (r+1)*K] of the global ascending order.
+    # Round 5: the lex compare collapses to ONE biased-bound compare —
+    # admit iff d >= (gidx > lbi ? lbd : nextafter(lbd)) — with
+    # nextafter(lbd) precomputed HOST-side (lb row 1) and the index test
+    # rewritten as a row compare (gidx > lbi <=> row > lbi - j*T2, both
+    # sides exact f32 ints < 2**24), eliminating the (T2, W) gidx tile and
+    # 3 of the 6 per-chain screen ops.  The round-4 form was measured at
+    # +190 ms/round of PURE op cost at K=64 (scripts/knn_r4_chain.py:
+    # vacuous-lb vs bare; admission shift +2.4 ms).
     if chained:
-        gidx_f = (j * tile_p2 + row).astype(jnp.float32)  # exact < 2**24
+        row_f_scr = row.astype(jnp.float32)
+        jt2_f = (j * tile_p2).astype(jnp.float32)
     slices = []
     wins = []
     cnts = []
@@ -287,8 +296,10 @@ def _knn_kernel(
         win = (d_c < thresh) & rmask
         if chained:
             lbd = lb_ref[0, 0, c * W : (c + 1) * W][None, :]
-            lbi = lb_ref[0, 1, c * W : (c + 1) * W][None, :]
-            win = win & ((d_c > lbd) | ((d_c == lbd) & (gidx_f > lbi)))
+            lbdp = lb_ref[0, 1, c * W : (c + 1) * W][None, :]
+            lbr = lb_ref[0, 2, c * W : (c + 1) * W][None, :] - jt2_f
+            ig = row_f_scr > lbr
+            win = win & (d_c >= jnp.where(ig, lbd, lbdp))
         wins.append(win)
         cnts.append(jnp.sum(win.astype(jnp.int32), axis=0))
     maxc = jnp.minimum(
@@ -711,10 +722,13 @@ def knn_forward_pallas(
                 d, i, lengths2, K, lambda: seeded_run(inf_tau)
             )
     if tile_p2 is None:
-        # Large K prefers wider, flatter tiles: K=64 at 100k measures
-        # 469 ms at 4x128@T2=2048 vs 504 ms at 8x128@T2=1024 (deep2, GF=64);
-        # K<=16 keeps the r3 production shape.
-        tile_p2 = 2048 if K > 32 else DEFAULT_TILE_P2
+        # Round 5: large K tiles at 4x128 @ T2=1024.  The old (512, 2048)
+        # default sits EXACTLY at the 1M-element Mosaic cliff; the chained
+        # lb screen's temporaries pushed it over, which is where the
+        # +190 ms/round chained tax actually lived (vacuous-lb probes:
+        # +174.6 ms at (512, 2048) vs +8.3 ms at (512, 1024); bare K=64 is
+        # also faster at 266.0 vs 277.9 ms same-session, v5e 100k).
+        tile_p2 = DEFAULT_TILE_P2
         if tile_p1 is None and K > 32:
             tile_p1 = 512
     auto_tile_p1 = tile_p1 is None
@@ -820,9 +834,22 @@ def knn_forward_pallas(
     operands = [lengths2_smem, p1_t, p2]
     if chained:
         lb_d, lb_i = lb
+        # Row 1 = nextafter(lbd): "d > lbd" becomes "d >= row1" (f32 d
+        # values are exactly representable).  Floor at f32 tiny where
+        # lbd >= 0: nextafter(0) is a denormal the TPU flushes to zero
+        # (which would re-admit already-taken d == 0 duplicates); kernel
+        # distances are themselves flushed, so {d > 0} == {d >= tiny}
+        # exactly.  -inf (vacuous round-0 pads) keeps nextafter = -f32max,
+        # which admits everything, matching lex > (-inf, -1).
+        lb_dp = jnp.nextafter(lb_d, jnp.float32(_INF))
+        lb_dp = jnp.where(
+            lb_d >= 0,
+            jnp.maximum(lb_dp, jnp.float32(jnp.finfo(jnp.float32).tiny)),
+            lb_dp,
+        )
         lb_arr = jnp.stack(
-            [lb_d, lb_i.astype(jnp.float32)], axis=1
-        )  # (N, 2, P1)
+            [lb_d, lb_dp, lb_i.astype(jnp.float32)], axis=1
+        )  # (N, 3, P1)
         if P1pad != P1:
             lb_arr = jnp.pad(
                 lb_arr, ((0, 0), (0, 0), (0, P1pad - P1)),
@@ -830,7 +857,7 @@ def knn_forward_pallas(
             )
         in_specs.append(
             pl.BlockSpec(
-                (1, 2, CW), lambda n, i, j, _l: (n, 0, i),
+                (1, 3, CW), lambda n, i, j, _l: (n, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )

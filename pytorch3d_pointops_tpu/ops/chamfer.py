@@ -113,8 +113,11 @@ def _k1_backward(p1, p2, lengths1, lengths2, idx, norm, g):
     (kernels/chamfer_pallas.py scatter_add_k1_pallas) — for K=1 the one-hot
     work is O(P1*P2*D), the same order as the forward pass, and it replaces
     the serialized XLA scatter (and the CUDA atomicAdd) with a deterministic
-    dense contraction."""
+    dense contraction.  Past ~32k reference points the O(P1*P2) one-hot
+    FLOPs outgrow the O(P1) banked VMEM row scatter
+    (kernels/scatter_pallas.py, ~11 ns/entry measured), which takes over."""
     from ..kernels.chamfer_pallas import scatter_add_k1_pallas
+    from ..kernels.scatter_pallas import scatter_add_rows_pallas
 
     N, P1 = idx.shape
     valid = (
@@ -131,9 +134,14 @@ def _k1_backward(p1, p2, lengths1, lengths2, idx, norm, g):
     else:
         diff = 2.0 * g[..., None] * (p1 - p2_g)
     diff = jnp.where(valid[..., None], diff, 0.0)
-    grad_p2 = scatter_add_k1_pallas(
-        jnp.where(valid, idx, -1), -diff, p2.shape[1]
-    )
+    if p2.shape[1] > 32768:
+        grad_p2 = scatter_add_rows_pallas(
+            jnp.where(valid, idx, -1), -diff, p2.shape[1]
+        )
+    else:
+        grad_p2 = scatter_add_k1_pallas(
+            jnp.where(valid, idx, -1), -diff, p2.shape[1]
+        )
     return diff, grad_p2
 
 
