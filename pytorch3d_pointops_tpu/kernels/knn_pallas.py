@@ -731,6 +731,13 @@ def knn_forward_pallas(
         tile_p2 = DEFAULT_TILE_P2
         if tile_p1 is None and K > 32:
             tile_p1 = 512
+        elif tile_p1 is None and K <= 32 and P2 >= 512 * 1024:
+            # Admission-sparse deep streams prefer the flatter 4x128 @
+            # T2=2048 shape: 1M x 1M / K=16 sweep (scripts/knn_r5_1m.py,
+            # v5e) measures 5.70 s vs 6.25 s for the 100k-tuned 8x128 @
+            # 1024 (gf 128, 256x4096, 512x1024, 1024x512 all worse).  The
+            # 100k headline keeps the r3 shape (849k vs 809k q/s there).
+            tile_p1, tile_p2 = 512, 2048
     auto_tile_p1 = tile_p1 is None
     if auto_tile_p1:
         tile_p1 = DEFAULT_TILE_P1
