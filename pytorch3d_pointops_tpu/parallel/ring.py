@@ -70,6 +70,30 @@ def _local_knn(x, y, len2_local, K, norm):
     return vals, idx.astype(jnp.int32)
 
 
+def _scatter_rows_local(acc, idx, vals):
+    """Deterministic per-hop scatter-add for the ring backward passes:
+    ``acc[n, idx[n, e]] += vals[n, e]`` with ``idx == -1`` skipped.  On TPU
+    this is the banked VMEM Pallas kernel (kernels/scatter_pallas.py — the
+    XLA scatter serializes duplicate-row updates, 983 ms for 16M entries at
+    1M rows); elsewhere the vmapped XLA scatter."""
+    N, P2l, C = acc.shape
+    if (
+        jax.default_backend() == "tpu"
+        and C <= 8
+        and P2l <= 7_000_000
+    ):
+        from ..kernels.scatter_pallas import scatter_add_rows_pallas
+
+        return acc + scatter_add_rows_pallas(idx, vals, P2l)
+
+    def one(a, i, v):
+        return a.at[jnp.maximum(i, 0)].add(
+            jnp.where((i >= 0)[..., None], v, 0.0)
+        )
+
+    return jax.vmap(one)(acc, idx, vals)
+
+
 def _ring_fwd_local(p1_loc, p2_loc, lengths2, K, norm, axis_name):
     """Runs on each device under shard_map: stream all p2 shards through."""
     n_dev = lax.axis_size(axis_name)
@@ -146,11 +170,11 @@ def _ring_bwd_local(
             diff = 2.0 * g[..., None] * (p1_loc[:, :, None, :] - p2_g)
         diff = jnp.where(in_shard[..., None], diff, 0.0)
         gp1 = gp1 + diff.sum(axis=2)
-
-        def scatter_one(gy_n, i_n, v_n):
-            return gy_n.at[i_n.reshape(-1)].add(v_n.reshape(-1, D))
-
-        gy = jax.vmap(scatter_one)(gy, local_idx, -diff)
+        gy = _scatter_rows_local(
+            gy,
+            jnp.where(in_shard, local_idx, -1).reshape(N, P1l * K),
+            (-diff).reshape(N, P1l * K, D),
+        )
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         y_next = lax.ppermute(y, axis_name, perm)
         gy_next = lax.ppermute(gy, axis_name, perm)
@@ -313,11 +337,11 @@ def _ring_gather_bwd_local(idx_loc, grad_acc, P2l_total, K, axis_name):
         in_shard = (idx_loc >= off) & (idx_loc < off + P2l)
         li = jnp.clip(idx_loc - off, 0, P2l - 1)
         contrib = jnp.where(in_shard[..., None], grad_acc, 0.0)
-
-        def scatter_one(gy_n, i_n, v_n):
-            return gy_n.at[i_n.reshape(-1)].add(v_n.reshape(-1, C))
-
-        gy = jax.vmap(scatter_one)(gy, li, contrib)
+        gy = _scatter_rows_local(
+            gy,
+            jnp.where(in_shard, li, -1).reshape(N, P1l * K),
+            contrib.reshape(N, P1l * K, C),
+        )
         gy = lax.ppermute(
             gy, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
         )
@@ -494,9 +518,6 @@ def _ring_nn_bidir_bwd_local(
     )
     g1 = jnp.where(valid_x, gd_xy, 0.0)
 
-    def scatter_one(a_n, i_n, v_n):
-        return a_n.at[i_n].add(v_n)
-
     def hop(carry, t):
         y, iy, gy, gy_acc, gx = carry
         owner = (my - t) % n_dev
@@ -511,7 +532,7 @@ def _ring_nn_bidir_bwd_local(
             diff = 2.0 * g1[..., None] * (x_loc - p2g)
         diff = jnp.where(in2[..., None], diff, 0.0)
         gx = gx + diff
-        gy_acc = jax.vmap(scatter_one)(gy_acc, li2, -diff)
+        gy_acc = _scatter_rows_local(gy_acc, jnp.where(in2, li2, -1), -diff)
 
         # y->x: visiting queries hitting the local x shard.
         rows2 = off2 + jnp.arange(P2l, dtype=jnp.int32)
@@ -530,7 +551,7 @@ def _ring_nn_bidir_bwd_local(
             diff2 = 2.0 * g2[..., None] * (y - p1g)
         diff2 = jnp.where(in1[..., None], diff2, 0.0)
         gy_acc = gy_acc + diff2
-        gx = jax.vmap(scatter_one)(gx, li1, -diff2)
+        gx = _scatter_rows_local(gx, jnp.where(in1, li1, -1), -diff2)
 
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         y = lax.ppermute(y, axis_name, perm)

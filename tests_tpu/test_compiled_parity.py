@@ -387,3 +387,34 @@ def test_knn_backward_compiled_uses_pallas_scatter():
                 ref2[n, j] -= 2.0 * gdn[n, i, kk] * (p1n[n, i] - p2n[n, j])
     np.testing.assert_allclose(onp.asarray(rg2), ref2, atol=1e-2)
     np.testing.assert_allclose(onp.asarray(g2), ref2, atol=1e-2)
+
+
+def test_ring_chamfer_compiled_single_device_ring():
+    """The fused ring chamfer on a degenerate 1-device mesh, COMPILED on
+    the chip: exercises the per-hop fused chamfer kernel and the Pallas
+    scatter backward inside shard_map + scan + ppermute (the exact program
+    a pod runs per device), against the single-chip chamfer."""
+    from pytorch3d_pointops_tpu.ops.chamfer import chamfer_distance
+    from pytorch3d_pointops_tpu.parallel import make_mesh, ring_chamfer_distance
+
+    mesh = make_mesh((1,), ("sp",), devices=jax.devices()[:1])
+    k = jax.random.PRNGKey(40)
+    x = jax.random.normal(jax.random.fold_in(k, 0), (2, 1024, 3), jnp.float32)
+    y = jax.random.normal(jax.random.fold_in(k, 1), (2, 1536, 3), jnp.float32)
+    lx = jnp.asarray([1024, 700], jnp.int32)
+    ly = jnp.asarray([1536, 1100], jnp.int32)
+
+    def ring_loss(a, b):
+        return ring_chamfer_distance(a, b, lx, ly, mesh=mesh)
+
+    def chip_loss(a, b):
+        return chamfer_distance(a, b, lx, ly)[0]
+
+    v_ring, g_ring = jax.value_and_grad(ring_loss, argnums=0)(x, y)
+    v_chip, g_chip = jax.value_and_grad(chip_loss, argnums=0)(x, y)
+    np.testing.assert_allclose(
+        float(v_ring), float(v_chip), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ring), np.asarray(g_chip), atol=1e-4, rtol=1e-4
+    )
