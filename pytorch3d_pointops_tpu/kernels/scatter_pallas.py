@@ -57,7 +57,7 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def _scatter_rows_kernel(
-    idx_ref,  # SMEM (1, Ec) int32 — target row per entry, -1 skips
+    idx_ref,  # SMEM (1, 1, Ec) int32 — target row per entry, -1 skips
     ct_ref,  # SMEM (1, C, Ec) f32 — contributions, channel-major
     *out_refs,  # C x VMEM (1, B, nPages, 8, 128) f32 accumulators
     chunk: int,
@@ -77,7 +77,7 @@ def _scatter_rows_kernel(
     def body(step, _):
         for b in range(banks):
             e = step * banks + b
-            q = idx_ref[0, e]
+            q = idx_ref[0, 0, e]
             ok = q >= 0
             qs = jnp.where(ok, q, 0)
             page = qs >> 10
@@ -141,6 +141,12 @@ def scatter_add_rows_pallas(
         contrib = jnp.pad(contrib, ((0, 0), (0, Epad - E), (0, 0)))
     n_pages = -(-P2 // 1024)
     P2pad = n_pages * 1024
+    # Mosaic block-shape rule: a block's last two dims must divide (8, 128)
+    # or EQUAL the array's.  idx as (N, Epad) with block (1, chunk) breaks
+    # for N > 1 (sublane dim 1 != N); a singleton middle axis makes the
+    # blocked trailing dims (1, chunk) vs array (1, Epad) — always legal
+    # (chunk is either Epad itself or the 128-divisible DEFAULT_CHUNK).
+    idx3 = idx[:, None, :]  # (N, 1, Epad)
     ct = jnp.swapaxes(contrib, 1, 2)  # (N, C, Epad)
 
     kernel = functools.partial(
@@ -163,7 +169,8 @@ def scatter_add_rows_pallas(
         grid=(N, Epad // chunk),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk), lambda n, s: (n, s), memory_space=pltpu.SMEM
+                (1, 1, chunk), lambda n, s: (n, 0, s),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (1, C, chunk), lambda n, s: (n, 0, s),
@@ -182,7 +189,7 @@ def scatter_add_rows_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx, ct)
+    )(idx3, ct)
     # Fixed-order bank sum keeps determinism; page-major reshape restores
     # row order (q = page*1024 + sub*128 + lane).
     chans = [o.sum(axis=1).reshape(N, P2pad)[:, :P2] for o in outs]
