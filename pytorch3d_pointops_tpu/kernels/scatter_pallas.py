@@ -56,6 +56,31 @@ _MAX_BANKS = 16
 _VMEM_BUDGET = 88 * 1024 * 1024
 
 
+def scatter_rows_fits(P2: int, C: int) -> bool:
+    """True when ONE accumulator bank for (P2 rows, C channels) fits the
+    kernel's VMEM budget — the capacity cap scales with C (e.g. ~7.69M rows
+    at C=3 but ~2.88M at C=8), so callers must not hard-code a row count."""
+    return C <= 8 and -(-P2 // 1024) * 1024 * 4 * C <= _VMEM_BUDGET
+
+
+def scatter_add_rows(idx, contrib, P2: int):
+    """Deterministic ``out[n, idx[n, e]] += contrib[n, e]`` dispatcher: the
+    banked VMEM Pallas kernel on TPU whenever the accumulator fits
+    (`scatter_rows_fits`), else the vmapped XLA scatter (update-serialized
+    but correct at any size).  ``idx == -1`` entries contribute nothing.
+    Single home for the policy — knn/chamfer/ring backwards all call this."""
+    C = contrib.shape[2]
+    if jax.default_backend() == "tpu" and scatter_rows_fits(P2, C):
+        return scatter_add_rows_pallas(idx, contrib, P2)
+
+    def one(i, v):
+        return jnp.zeros((P2, C), contrib.dtype).at[jnp.maximum(i, 0)].add(
+            jnp.where((i >= 0)[..., None], v, 0.0)
+        )
+
+    return jax.vmap(one)(idx, contrib)
+
+
 def _scatter_rows_kernel(
     idx_ref,  # SMEM (1, 1, Ec) int32 — target row per entry, -1 skips
     ct_ref,  # SMEM (1, C, Ec) f32 — contributions, channel-major
@@ -135,6 +160,13 @@ def scatter_add_rows_pallas(
             "VMEM budget; reduce banks or fall back to the XLA scatter"
         )
     chunk = max(banks, min(chunk, -(-E // banks) * banks))
+    # The kernel covers banks*(chunk//banks) entries per grid step: a chunk
+    # that is not a banks multiple would silently drop the tail entries of
+    # every step.  Round up; for multi-step grids the lane dim must also be
+    # 128-divisible (Mosaic block rule; every banks value divides 128).
+    chunk = -(-chunk // banks) * banks
+    if chunk < E:
+        chunk = -(-chunk // 128) * 128
     Epad = -(-E // chunk) * chunk
     if Epad != E:
         idx = jnp.pad(idx, ((0, 0), (0, Epad - E)), constant_values=-1)

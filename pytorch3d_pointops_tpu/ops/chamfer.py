@@ -117,7 +117,7 @@ def _k1_backward(p1, p2, lengths1, lengths2, idx, norm, g):
     FLOPs outgrow the O(P1) banked VMEM row scatter
     (kernels/scatter_pallas.py, ~11 ns/entry measured), which takes over."""
     from ..kernels.chamfer_pallas import scatter_add_k1_pallas
-    from ..kernels.scatter_pallas import scatter_add_rows_pallas
+    from ..kernels.scatter_pallas import scatter_add_rows
 
     N, P1 = idx.shape
     valid = (
@@ -135,7 +135,9 @@ def _k1_backward(p1, p2, lengths1, lengths2, idx, norm, g):
         diff = 2.0 * g[..., None] * (p1 - p2_g)
     diff = jnp.where(valid[..., None], diff, 0.0)
     if p2.shape[1] > 32768:
-        grad_p2 = scatter_add_rows_pallas(
+        # scatter_add_rows falls back to the XLA scatter past the kernel's
+        # C-scaled VMEM capacity (~7.69M rows at D=3) instead of raising.
+        grad_p2 = scatter_add_rows(
             jnp.where(valid, idx, -1), -diff, p2.shape[1]
         )
     else:

@@ -220,24 +220,15 @@ def knn_backward(p1, p2, lengths1, lengths2, idx, norm, grad_dists):
     grad_p1 = diff.sum(axis=2)
 
     P2 = p2.shape[1]
-    # 7M rows ~ the VMEM budget for one accumulator bank (scatter_pallas);
-    # beyond that the XLA scatter is the fallback.
-    if jax.default_backend() == "tpu" and D <= 8 and P2 <= 7_000_000:
-        from ..kernels.scatter_pallas import scatter_add_rows_pallas
+    # Pallas-vs-XLA dispatch (incl. the C-scaled VMEM capacity cap) lives in
+    # one place: kernels/scatter_pallas.scatter_add_rows.
+    from ..kernels.scatter_pallas import scatter_add_rows
 
-        grad_p2 = scatter_add_rows_pallas(
-            jnp.where(valid, idx, -1).reshape(N, P1 * K),
-            (-diff).reshape(N, P1 * K, D),
-            P2,
-        )
-    else:
-
-        def scatter_one(i, v):
-            return jnp.zeros((P2, D), jnp.float32).at[i.reshape(-1)].add(
-                v.reshape(-1, D)
-            )
-
-        grad_p2 = jax.vmap(scatter_one)(safe_idx, -diff)
+    grad_p2 = scatter_add_rows(
+        jnp.where(valid, idx, -1).reshape(N, P1 * K),
+        (-diff).reshape(N, P1 * K, D),
+        P2,
+    )
     return grad_p1, grad_p2
 
 

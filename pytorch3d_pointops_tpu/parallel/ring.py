@@ -72,26 +72,13 @@ def _local_knn(x, y, len2_local, K, norm):
 
 def _scatter_rows_local(acc, idx, vals):
     """Deterministic per-hop scatter-add for the ring backward passes:
-    ``acc[n, idx[n, e]] += vals[n, e]`` with ``idx == -1`` skipped.  On TPU
-    this is the banked VMEM Pallas kernel (kernels/scatter_pallas.py — the
-    XLA scatter serializes duplicate-row updates, 983 ms for 16M entries at
-    1M rows); elsewhere the vmapped XLA scatter."""
-    N, P2l, C = acc.shape
-    if (
-        jax.default_backend() == "tpu"
-        and C <= 8
-        and P2l <= 7_000_000
-    ):
-        from ..kernels.scatter_pallas import scatter_add_rows_pallas
+    ``acc[n, idx[n, e]] += vals[n, e]`` with ``idx == -1`` skipped.  The
+    Pallas-vs-XLA policy (incl. the C-scaled VMEM capacity cap) lives in
+    kernels/scatter_pallas.scatter_add_rows."""
+    from ..kernels.scatter_pallas import scatter_add_rows
 
-        return acc + scatter_add_rows_pallas(idx, vals, P2l)
-
-    def one(a, i, v):
-        return a.at[jnp.maximum(i, 0)].add(
-            jnp.where((i >= 0)[..., None], v, 0.0)
-        )
-
-    return jax.vmap(one)(acc, idx, vals)
+    P2l = acc.shape[1]
+    return acc + scatter_add_rows(idx, vals, P2l)
 
 
 def _ring_fwd_local(p1_loc, p2_loc, lengths2, K, norm, axis_name):
@@ -705,9 +692,19 @@ def ring_chamfer_distance(
     if y_features is not None:
         yf = {k: pad_pts(jnp.asarray(v), P2pad) for k, v in y_features.items()}
 
-    d1, i1, d2, i2 = _make_ring_nn_bidir(mesh, point_axis, batch_axis, norm)(
-        xp, yp, x_lengths, y_lengths
-    )
+    if single_directional:
+        # One-direction losses need no y->x minima: the plain ring-KNN
+        # (K=1) pass skips the bidirectional kernel's y-state ppermutes in
+        # the forward and the per-hop y->x gather/scatter in the backward.
+        d1k, i1k = _make_ring_knn(mesh, point_axis, batch_axis, 1, norm)(
+            xp, yp, x_lengths, y_lengths
+        )
+        d1, i1 = d1k[..., 0], i1k[..., 0]
+        d2 = i2 = None
+    else:
+        d1, i1, d2, i2 = _make_ring_nn_bidir(
+            mesh, point_axis, batch_axis, norm
+        )(xp, yp, x_lengths, y_lengths)
 
     def ring_gather(v, idx, lens):
         return ring_knn_gather(

@@ -83,6 +83,12 @@ def run_scale(P2, K, sweep):
         if best is None or t < best[0]:
             best = (t, chunk, banks, fn)
 
+    if best is None:
+        # Remote-compile OOMs can fail every config; report and move on so
+        # main() still runs the remaining scales.
+        print("all pallas configs FAILED; XLA control stands", flush=True)
+        return None
+
     # Exactness vs the XLA scatter (deterministic f32 sums can differ by
     # rounding order on duplicate rows; tolerance covers that).
     out_p = np.asarray(best[3](idx, v))

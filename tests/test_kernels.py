@@ -855,6 +855,67 @@ def test_scatter_add_rows_multi_page_and_determinism():
     np.testing.assert_allclose(np.asarray(a), ref, atol=1e-4)
 
 
+def test_scatter_add_rows_chunk_not_banks_multiple():
+    """A caller-supplied chunk that is not a banks multiple must not drop
+    the tail entries of each grid step (regression: chunk=100/banks=8 lost
+    12 contributions per chunk before the round-up); multi-step odd chunks
+    round to the 128-divisible Mosaic block size."""
+    from pytorch3d_pointops_tpu.kernels.scatter_pallas import (
+        scatter_add_rows_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    for (N, E, P2, C, chunk, banks) in [
+        (1, 300, 50, 1, 100, 8),   # single-step after coercion
+        (2, 5000, 64, 2, 1000, 8),  # multi-step, chunk not 128-divisible
+        (1, 333, 40, 3, 7, 4),      # chunk < banks
+    ]:
+        idx = rng.integers(-1, P2, size=(N, E)).astype(np.int32)
+        contrib = rng.normal(size=(N, E, C)).astype(np.float32)
+        contrib[idx < 0] = 0.0
+        out = scatter_add_rows_pallas(
+            jnp.asarray(idx), jnp.asarray(contrib), P2,
+            chunk=chunk, banks=banks, interpret=True,
+        )
+        ref = np.zeros((N, P2, C), np.float32)
+        for n in range(N):
+            for e in range(E):
+                if idx[n, e] >= 0:
+                    ref[n, idx[n, e]] += contrib[n, e]
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=1e-4,
+            err_msg=f"chunk={chunk} banks={banks}",
+        )
+
+
+def test_scatter_add_rows_dispatcher_capacity():
+    """scatter_add_rows (the single dispatch policy for knn/chamfer/ring
+    backwards) must fall back to the XLA scatter — not raise — when the
+    accumulator exceeds the kernel's C-scaled VMEM capacity."""
+    from pytorch3d_pointops_tpu.kernels.scatter_pallas import (
+        scatter_add_rows,
+        scatter_rows_fits,
+    )
+
+    # Capacity scales with channel count: ~7.69M rows at C=3, ~2.88M at C=8.
+    assert scatter_rows_fits(7_000_000, 3)
+    assert not scatter_rows_fits(8_000_000, 3)
+    assert not scatter_rows_fits(3_000_000, 8)
+    assert not scatter_rows_fits(100, 9)  # C > 8 unsupported by the kernel
+
+    rng = np.random.default_rng(4)
+    N, E, P2, C = 2, 64, 30, 8
+    idx = rng.integers(-1, P2, size=(N, E)).astype(np.int32)
+    contrib = rng.normal(size=(N, E, C)).astype(np.float32)
+    out = scatter_add_rows(jnp.asarray(idx), jnp.asarray(contrib), P2)
+    ref = np.zeros((N, P2, C), np.float32)
+    for n in range(N):
+        for e in range(E):
+            if idx[n, e] >= 0:
+                ref[n, idx[n, e]] += contrib[n, e]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
 def test_knn_instrument_counters_consistent():
     """instrument=True must not change results, and the counters must
     satisfy the structural invariants (tiles per block = grid depth,

@@ -132,6 +132,31 @@ def test_ring_chamfer_gradient_descent():
     assert float(l) < 0.5 * first
 
 
+def test_ring_chamfer_single_directional_gradients(mesh):
+    """single_directional routes through the one-direction ring-KNN pass
+    (round-5 review: the bidirectional kernel paid y->x work the caller
+    discards); value AND gradients must still match the single-chip op."""
+    p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(17))
+
+    def ring_loss(a, b):
+        return ring_chamfer_distance(
+            a, b, l1, l2, single_directional=True, mesh=mesh
+        )
+
+    def chip_loss(a, b):
+        return chamfer_distance(a, b, l1, l2, single_directional=True)[0]
+
+    v_r, (g1_r, g2_r) = jax.value_and_grad(ring_loss, argnums=(0, 1))(p1, p2)
+    v_s, (g1_s, g2_s) = jax.value_and_grad(chip_loss, argnums=(0, 1))(p1, p2)
+    np.testing.assert_allclose(float(v_r), float(v_s), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1_r), np.asarray(g1_s), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2_r), np.asarray(g2_s), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_ring_2d_mesh_dp_plus_sp(mesh2d):
     """Batch sharded over dp while points ring over sp."""
     p1, p2, l1, l2 = _clouds(jax.random.PRNGKey(6), N=4, P1=32, P2=64)
