@@ -799,6 +799,55 @@ def test_knn_pallas_single_round_sample_bound_opt_in():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+def test_knn_sorted_queries_exact_parity():
+    """Morton query sorting (kernels/spatial_sort.py) permutes only the
+    computation order: dists/idx must match the unsorted kernel EXACTLY —
+    including tie order on duplicated points, ragged lengths, N > 1,
+    chained big-K, and L1."""
+    from pytorch3d_pointops_tpu.kernels.knn_pallas import knn_forward_pallas
+    from pytorch3d_pointops_tpu.ops.knn import _knn_forward_full
+
+    key = jax.random.PRNGKey(5)
+    base = jax.random.normal(key, (2, 256, 3), jnp.float32)
+    p2 = jnp.concatenate([base, base], axis=1)  # exact duplicates
+    p1 = base[:, :128]
+    l1 = jnp.full((2,), 128, jnp.int32)
+    l2 = jnp.asarray([512 - 3, 500], jnp.int32)
+    for K, norm in ((8, 2), (16, 2), (4, 1)):
+        d_s, i_s = knn_forward_pallas(
+            p1, p2, l2, K=K, norm=norm, tile_p1=32, tile_p2=128,
+            interpret=True, sort_queries=True,
+        )
+        d_r, i_r = _knn_forward_full(p1, p2, l1, l2, K, norm)
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+    # Chained big-K: one outer sort covers every round.
+    d_s, i_s = knn_forward_pallas(
+        p1[:1], p2[:1], l2[:1], K=100, tile_p1=32, tile_p2=128,
+        interpret=True, sort_queries=True,
+    )
+    d_r, i_r = _knn_forward_full(p1[:1], p2[:1], l1[:1], l2[:1], 100, 2)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_r), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+
+
+def test_morton_argsort_roundtrip():
+    """morton_argsort's (order, inverse) must be mutually inverse and
+    stable for duplicate codes; D > 3 uses the first three axes."""
+    from pytorch3d_pointops_tpu.kernels.spatial_sort import morton_argsort
+
+    k = jax.random.PRNGKey(9)
+    for D in (2, 3, 5):
+        p = jax.random.normal(k, (2, 200, D), jnp.float32)
+        p = p.at[:, 50:60].set(p[:, 40:50])  # duplicate coordinate runs
+        order, inverse = morton_argsort(p)
+        ps = jnp.take_along_axis(p, order[..., None], axis=1)
+        back = jnp.take_along_axis(ps, inverse[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(p))
+        for n in range(2):
+            assert sorted(np.asarray(order[n]).tolist()) == list(range(200))
+
+
 def test_scatter_add_rows_matches_oracle():
     """The banked VMEM row scatter (KNN backward's grad_p2 segment-sum) must
     equal a numpy scatter; -1 targets contribute nothing; duplicate targets

@@ -322,6 +322,21 @@ def test_knn_compiled_depth3_duplicate_ties():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
 
 
+def test_knn_compiled_sorted_queries():
+    """Morton query sorting (round 5, auto-on at P1 >= 8192) COMPILED:
+    bit-identical dists and exactly equal idx vs the unsorted kernel, on
+    duplicate-heavy clouds so tie order is actually exercised."""
+    key = jax.random.PRNGKey(41)
+    base = jax.random.normal(key, (2, 1024, 3), jnp.float32)
+    p2 = jnp.concatenate([base, base], axis=1)  # exact duplicates
+    p1 = base
+    l2 = jnp.asarray([2048 - 7, 2048], jnp.int32)
+    d0, i0 = knn_forward_pallas(p1, p2, l2, K=16, sort_queries=False)
+    d1, i1 = knn_forward_pallas(p1, p2, l2, K=16, sort_queries=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 def test_scatter_add_rows_compiled_parity():
     """The banked VMEM row scatter (round 5, KNN backward grad_p2) compiled
     on the chip: exact vs the XLA scatter, duplicate-heavy targets, -1
