@@ -114,12 +114,15 @@ if __name__ == "__main__":
 
     qps = P / t_pallas
     # Derive the roofline ratio from THIS run instead of hardcoding it
-    # (round-5 review): fraction of the measured selection-inclusive floor
-    # (ROOFLINE.md round-5 settlement, 65.6 ms at the 100k/K=16 config, net
-    # of RTT on both sides).  RTT is measured here with a no-op dispatch;
-    # the amortized per-call number carries RTT/R of it.  Only meaningful
-    # at the non-quick TPU config the floor was measured at.
-    _FLOOR_MS = 65.6
+    # (round-5 review): fraction of the measured DISTANCE floor — the K=1
+    # running-min kernel at the shipped tiles, timed with this same R-loop
+    # methodology (28.7 ms net at 100k, /tmp-protocol in ROOFLINE.md round-5
+    # carried-kernel section).  The earlier "selection-inclusive" floor
+    # (65.6 ms) modeled sweep work the carried sorted-candidate kernel now
+    # skips — the kernel beat it, so it no longer bounds anything.  RTT is
+    # measured here with a no-op dispatch; the amortized per-call number
+    # carries RTT/R of it.  Only meaningful at the non-quick TPU config.
+    _FLOOR_MS = 28.7
     roofline_frac = None
     if on_tpu and not quick:
         noop = jax.jit(lambda s: s + 1.0)

@@ -91,7 +91,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .spatial_sort import morton_argsort
+from .spatial_sort import morton_argsort, morton_code
 
 logger = logging.getLogger(__name__)
 
@@ -150,10 +150,7 @@ def _fold_width(tile_p2: int, floor: int = 256) -> int:
 
 
 def _knn_kernel(
-    lengths2_ref,  # scalar-prefetch SMEM (N,) int32
-    p1t_ref,  # VMEM (1, D, C*W) — queries transposed: coords on sublanes
-    p2_ref,  # VMEM (1, T2, D) — candidates natural
-    *refs,  # [lb (1,3,C*W) if chained] [ub (1,1,C*W) if seeded] C x (out_d (1,K,W), out_i) then C x (af, ai, wm, wml)
+    *args,  # prefetch: lengths2 (N,) [starts (N, nb) if carried]; then p1t (1, D, C*W), p2 (1, T2, D), [gidx (1, T2, 1) f32 if carried], [lb (1,3,C*W) if chained], [ub (1,1,C*W) if seeded], C x (out_d (1,K,W), out_i), then C x (af, ai, wm, wml) scratch
     K: int,
     norm: int,
     tile_p2: int,
@@ -164,7 +161,20 @@ def _knn_kernel(
     seeded: bool = False,
     depth: int = 1,
     instrument: bool = False,
+    carried: bool = False,
 ):
+    # ``carried`` (round 5): candidates arrive PERMUTED (Morton-sorted p2,
+    # per-block rotated scan) and each tile streams its rows' ORIGINAL
+    # indices as f32 (< 2**24, exact).  Everywhere the identity-order
+    # kernel uses the row iota as the candidate id — lengths masking, lex
+    # insertion keys, fold row-recovery, group-update masks, watermarks,
+    # the chained lb screen — the carried gidx column substitutes at equal
+    # op count (ids only need uniqueness + the reference's (value, index)
+    # lex order, which original indices give exactly).
+    if carried:
+        lengths2_ref, _starts_ref, p1t_ref, p2_ref, gidx_ref, *refs = args
+    else:
+        lengths2_ref, p1t_ref, p2_ref, *refs = args
     j = pl.program_id(2)
     C, W, GF, T2 = chains, width, gf, tile_p2
     if chained:
@@ -260,19 +270,35 @@ def _knn_kernel(
 
     row = jax.lax.broadcasted_iota(jnp.int32, (T2, W), 0)
     len2 = lengths2_ref[pl.program_id(0)]
-    rmask = j * tile_p2 + row < len2
+    if carried:
+        gidx_col = gidx_ref[0]  # (T2, 1) f32 original candidate ids
+        rmask = gidx_col < len2.astype(jnp.float32)  # broadcasts over W
+    else:
+        rmask = j * tile_p2 + row < len2
 
     if K == 1:
         # Chamfer's case: the running top-1 is a plain min/argmin per chain.
         for c in range(C):
             d_c = jnp.where(rmask, d_all[:, c * W : (c + 1) * W], _INF)
             m = jnp.min(d_c, axis=0)
-            am = jnp.argmin(d_c, axis=0).astype(jnp.int32)
-            better = m < out_d[c][0][0]
-            out_d[c][0, 0] = jnp.where(better, m, out_d[c][0, 0])
-            out_i[c][0, 0] = jnp.where(
-                better, j * tile_p2 + am, out_i[c][0, 0]
-            )
+            if carried:
+                # Tile visit order is rotated: cross-tile value ties must
+                # resolve by ORIGINAL index, not arrival order — lex update.
+                gm_f = jnp.min(
+                    jnp.where(d_c == m[None, :], gidx_col, 3e38), axis=0
+                )
+                gm = gm_f.astype(jnp.int32)
+                cur_d, cur_i = out_d[c][0][0], out_i[c][0][0]
+                better = (m < cur_d) | ((m == cur_d) & (gm < cur_i))
+                out_d[c][0, 0] = jnp.where(better, m, cur_d)
+                out_i[c][0, 0] = jnp.where(better, gm, cur_i)
+            else:
+                am = jnp.argmin(d_c, axis=0).astype(jnp.int32)
+                better = m < out_d[c][0][0]
+                out_d[c][0, 0] = jnp.where(better, m, out_d[c][0, 0])
+                out_i[c][0, 0] = jnp.where(
+                    better, j * tile_p2 + am, out_i[c][0, 0]
+                )
         return
 
     # Admission screen per chain: each sorted state's last row is that
@@ -289,7 +315,7 @@ def _knn_kernel(
     # 3 of the 6 per-chain screen ops.  The round-4 form was measured at
     # +190 ms/round of PURE op cost at K=64 (scripts/knn_r4_chain.py:
     # vacuous-lb vs bare; admission shift +2.4 ms).
-    if chained:
+    if chained and not carried:
         row_f_scr = row.astype(jnp.float32)
         jt2_f = (j * tile_p2).astype(jnp.float32)
     slices = []
@@ -299,12 +325,32 @@ def _knn_kernel(
         d_c = d_all[:, c * W : (c + 1) * W]
         slices.append(d_c)
         thresh = out_d[c][0][K - 1][None, :]
-        win = (d_c < thresh) & rmask
+        if carried:
+            # Rotated arrival order breaks the "later arrival == higher
+            # index" invariant the strict screen relies on: a candidate
+            # EQUAL to the kth value with a LOWER original index must
+            # still be admitted (the lex insert displaces the kth; a
+            # higher-index tie is rejected there at pos == K).  Admitting
+            # ALL value ties (<=) is the zero-cost exact fix — a lex
+            # compare against the kth's index would read the out_i state
+            # ref on the screen's critical path (measured: it erased the
+            # carried win; the kernel is bounded by serial chains through
+            # the state refs).  Extra sweeps only arise on exact-tie
+            # candidates; seeded _SENT slots admit their d == seed edge
+            # harmlessly (superset admissions, exact insert).
+            win = (d_c <= thresh) & rmask
+        else:
+            win = (d_c < thresh) & rmask
         if chained:
             lbd = lb_ref[0, 0, c * W : (c + 1) * W][None, :]
             lbdp = lb_ref[0, 1, c * W : (c + 1) * W][None, :]
-            lbr = lb_ref[0, 2, c * W : (c + 1) * W][None, :] - jt2_f
-            ig = row_f_scr > lbr
+            if carried:
+                # gidx IS the global index: compare it directly (no
+                # j*T2 rebasing — the scan is rotated anyway).
+                ig = gidx_col > lb_ref[0, 2, c * W : (c + 1) * W][None, :]
+            else:
+                lbr = lb_ref[0, 2, c * W : (c + 1) * W][None, :] - jt2_f
+                ig = row_f_scr > lbr
             win = win & (d_c >= jnp.where(ig, lbd, lbdp))
         wins.append(win)
         cnts.append(jnp.sum(win.astype(jnp.int32), axis=0))
@@ -326,7 +372,9 @@ def _knn_kernel(
 
     krow = jax.lax.broadcasted_iota(jnp.int32, (K, W), 0)
     row_gf = jax.lax.broadcasted_iota(jnp.int32, (GF, W), 0)
-    row_f = row.astype(jnp.float32)
+    # The candidate-id source for recovery/watermark/lex logic: carried
+    # original indices ((T2, 1), broadcasts over W) or the row iota.
+    row_f = gidx_col if carried else row.astype(jnp.float32)
     n_folds = (tile_p2 // GF).bit_length() - 1
     reps = T2 // GF
 
@@ -435,7 +483,7 @@ def _knn_kernel(
                             jnp.concatenate([rv] * reps, axis=0)
                         )
             else:
-                ai[c][...] = row_f
+                ai[c][...] = row_f + jnp.zeros((T2, W), jnp.float32)
                 for m in range(1, depth):
                     ais[m][c][...] = jnp.full(
                         ais[m][c].shape, 3e38, jnp.float32
@@ -457,12 +505,22 @@ def _knn_kernel(
                         jnp.where(av == mval[None, :], ai[c][...], 3e38),
                         axis=0,
                     )
-                    sub_sel = sub_f.astype(jnp.int32)
-                    insert(c, mval, j * tile_p2 + sub_sel)
-                    g_sel = sub_sel - (sub_sel // GF) * GF
-                    upd = (row_gf == g_sel[None, :]) & (
-                        mval[None, :] < _INF
-                    )
+                    if carried:
+                        # sub_f IS the winner's original index; its fold
+                        # group is found by matching the (unique) id in the
+                        # level-0 id buffer — same one-compare-and-mask
+                        # cost as the row arithmetic below.
+                        insert(c, mval, sub_f.astype(jnp.int32))
+                        upd = (ai[c][...] == sub_f[None, :]) & (
+                            mval[None, :] < _INF
+                        )
+                    else:
+                        sub_sel = sub_f.astype(jnp.int32)
+                        insert(c, mval, j * tile_p2 + sub_sel)
+                        g_sel = sub_sel - (sub_sel // GF) * GF
+                        upd = (row_gf == g_sel[None, :]) & (
+                            mval[None, :] < _INF
+                        )
                     if depth > 1:
                         # Shift the group's deeper (value, row) slots up one
                         # level so the next sweep can retire the next-best;
@@ -575,7 +633,10 @@ def _knn_kernel(
                                     axis=0,
                                 )
                                 am = am_f.astype(jnp.int32)
-                                insert(c, m, j * tile_p2 + am)
+                                insert(
+                                    c, m,
+                                    am if carried else j * tile_p2 + am,
+                                )
                                 wm[c][0:1] = m[None, :]
                                 wml[c][0:1] = am_f[None, :]
 
@@ -600,7 +661,7 @@ _COUNTER_LANES = {
     static_argnames=(
         "K", "norm", "tile_p1", "tile_p2", "interpret", "gf", "depth",
         "round_k", "sample_bound", "sample_s", "instrument",
-        "sort_queries",
+        "sort_queries", "sort_candidates",
     ),
 )
 def knn_forward_pallas(
@@ -621,6 +682,8 @@ def knn_forward_pallas(
     sample_s: int = None,
     instrument: bool = False,
     sort_queries: bool = None,
+    sort_candidates: bool = None,
+    cand_ids: Array = None,
 ) -> tuple[Array, Array]:
     """Streaming brute-force KNN forward on TPU.
 
@@ -672,6 +735,20 @@ def knn_forward_pallas(
             counterpart).  Statically compiled out when False; single-round
             K > 1 calls only.  (With sorting on, counters describe the
             sorted blocks — per-query totals are order-independent.)
+        sort_candidates: Morton-sort the CANDIDATE rows too, stream each
+            tile's original indices into the kernel as the (value, index)
+            lex keys, and rotate each query block's p2 scan to start at
+            its own spatial region (per-block start tiles ride the scalar
+            prefetch).  The threshold is then near-final after the first
+            visited tile, so later tiles admit ~nothing and their entire
+            sweep region is skipped (``winning_tiles`` collapses).
+            Results stay EXACT — indices are compared by original value,
+            so tie order is scan-order independent.  None = auto: ON for
+            compiled K > 1 calls with P2 >= 4096 (measured wins at every
+            such config — see the auto-gate comment), OFF for K=1 and
+            interpret runs.  cand_ids: internal — the original-index
+            permutation when p2 arrives pre-sorted (chained rounds and
+            seeded reruns reuse the outer call's sort).
         sort_queries: Morton-sort the query rows before the kernel and
             un-permute the outputs after (kernels/spatial_sort.py): lanes
             of a program become spatially coherent, shrinking the
@@ -695,6 +772,32 @@ def knn_forward_pallas(
         raise ValueError(
             "instrument=True supports single-round, unsampled K > 1 calls"
         )
+    if sort_candidates is None:
+        # Hardware A/B (scripts/knn_r5_carried.py, one v5e, vs the
+        # query-sorted base): 100k/K=16 102.7 -> 80.7 ms, K=64 +34%,
+        # K=128 +16%, K=500 +8.6%, 1M +11.8%, 10k +9%, 512x100k +1.7%;
+        # K=1 LOSES 5% (a running top-1 has no admission-gated sweeps to
+        # save, and pays the lex tie update) — so auto is ON for every
+        # compiled K > 1 call and OFF for K=1 and interpret runs.
+        sort_candidates = not interpret and K > 1 and P2 >= 4096
+    if sort_candidates and cand_ids is None:
+        # ONE candidate sort covers every inner path (chained rounds,
+        # seeded reruns): the permutation travels as cand_ids.  The JOINT
+        # bounding box keeps p1-block codes and p2-tile boundary codes on
+        # the same curve for the per-block scan starts computed at the
+        # leaf.
+        lo = jnp.minimum(
+            jnp.min(p1, axis=1, keepdims=True),
+            jnp.min(p2, axis=1, keepdims=True),
+        )
+        hi = jnp.maximum(
+            jnp.max(p1, axis=1, keepdims=True),
+            jnp.max(p2, axis=1, keepdims=True),
+        )
+        cand_ids = jnp.argsort(morton_code(p2, lo, hi), axis=1).astype(
+            jnp.int32
+        )
+        p2 = jnp.take_along_axis(p2, cand_ids[..., None], axis=1)
     if sort_queries is None:
         sort_queries = (
             not interpret
@@ -719,6 +822,7 @@ def knn_forward_pallas(
             lb=lbs, ub=ubs, gf=gf, depth=depth, round_k=round_k,
             sample_bound=sample_bound, sample_s=sample_s,
             instrument=instrument, sort_queries=False,
+            sort_candidates=False, cand_ids=cand_ids,
         )
         d, i = out[0], out[1]
         d = jnp.take_along_axis(d, inverse[..., None], axis=1)
@@ -732,6 +836,7 @@ def knn_forward_pallas(
         return _knn_forward_pallas_bigk(
             p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf,
             round_k=round_k, sample_bound=sample_bound, sample_s=sample_s,
+            cand_ids=cand_ids,
         )
     chained = lb is not None
     seeded = ub is not None
@@ -761,6 +866,8 @@ def knn_forward_pallas(
                 return knn_forward_pallas(
                     p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret,
                     ub=ub_r, gf=gf, depth=depth, round_k=round_k,
+                    sort_queries=False, sort_candidates=False,
+                    cand_ids=cand_ids,
                 )
 
             d, i = seeded_run(taus[0])
@@ -814,6 +921,50 @@ def knn_forward_pallas(
     CW = chains * width
     P1pad = -(-P1 // CW) * CW
     P2pad = -(-P2 // tile_p2) * tile_p2
+    carried = cand_ids is not None
+    if carried:
+        # Per-block rotated scan starts: each query block's p2 stream
+        # begins at its own spatial region, so the threshold is near-final
+        # after the first tile and later tiles admit ~nothing.  Block
+        # median query codes are searched into the sorted candidates' tile
+        # boundary codes — both on the JOINT box, the same curve the
+        # candidate sort used.  Wrong starts can only cost speed, never
+        # correctness (the full cycle always streams every tile).
+        nJ = P2pad // tile_p2
+        nb_loc = P1pad // CW
+        lo_j = jnp.minimum(
+            jnp.min(p1, axis=1, keepdims=True),
+            jnp.min(p2, axis=1, keepdims=True),
+        )
+        hi_j = jnp.maximum(
+            jnp.max(p1, axis=1, keepdims=True),
+            jnp.max(p2, axis=1, keepdims=True),
+        )
+        c2 = morton_code(p2, lo_j, hi_j)  # ascending: rows arrive sorted
+        bpos = jnp.minimum(
+            jnp.arange(nJ, dtype=jnp.int32) * tile_p2, P2 - 1
+        )
+        bounds = jnp.take_along_axis(
+            c2, jnp.broadcast_to(bpos[None, :], (N, nJ)), axis=1
+        )
+        c1 = morton_code(p1, lo_j, hi_j)
+        mpos = jnp.minimum(
+            jnp.arange(nb_loc, dtype=jnp.int32) * CW + CW // 2, P1 - 1
+        )
+        med = jnp.take_along_axis(
+            c1, jnp.broadcast_to(mpos[None, :], (N, nb_loc)), axis=1
+        )
+        starts = jax.vmap(
+            lambda b, m: jnp.searchsorted(b, m, side="right")
+        )(bounds, med)
+        starts = jnp.clip(starts - 1, 0, nJ - 1).astype(jnp.int32)
+        gidx_arr = cand_ids.astype(jnp.float32)
+        if P2pad != P2:
+            gidx_arr = jnp.pad(
+                gidx_arr, ((0, 0), (0, P2pad - P2)),
+                constant_values=float(P2pad),
+            )
+        gidx_arr = gidx_arr[..., None]  # (N, P2pad, 1)
     if P1pad != P1:
         p1 = jnp.pad(p1, ((0, 0), (0, P1pad - P1), (0, 0)))
     if P2pad != P2:
@@ -843,18 +994,18 @@ def knn_forward_pallas(
     kernel = functools.partial(
         _knn_kernel, K=K, norm=norm, tile_p2=tile_p2, chains=chains,
         width=width, gf=gf, chained=chained, seeded=seeded, depth=depth,
-        instrument=instrument,
+        instrument=instrument, carried=carried,
     )
     out_specs = []
     out_shapes = []
     for _c in range(chains):
         out_specs += [
             pl.BlockSpec(
-                (1, K, width), lambda n, i, j, _l: (n, 0, i),
+                (1, K, width), lambda n, i, j, *_p: (n, 0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, K, width), lambda n, i, j, _l: (n, 0, i),
+                (1, K, width), lambda n, i, j, *_p: (n, 0, i),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -865,7 +1016,7 @@ def knn_forward_pallas(
     if instrument:
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, 8, 128), lambda n, i, j, _l: (n, i, 0, 0),
+                (1, 1, 8, 128), lambda n, i, j, *_p: (n, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -877,15 +1028,34 @@ def knn_forward_pallas(
         scratch += [pltpu.VMEM((gf, width), jnp.float32)] * (2 + 2 * depth)
     in_specs = [
         pl.BlockSpec(
-            (1, D, CW), lambda n, i, j, _l: (n, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, tile_p2, D), lambda n, i, j, _l: (n, j, 0),
+            (1, D, CW), lambda n, i, j, *_p: (n, 0, i),
             memory_space=pltpu.VMEM,
         ),
     ]
-    operands = [lengths2_smem, p1_t, p2]
+    if carried:
+        nJ_s = P2pad // tile_p2
+
+        def _rot(n, i, j, _l, s):
+            jj = j + s[n, i]
+            return (n, jnp.where(jj >= nJ_s, jj - nJ_s, jj), 0)
+
+        in_specs += [
+            pl.BlockSpec(
+                (1, tile_p2, D), _rot, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_p2, 1), _rot, memory_space=pltpu.VMEM
+            ),
+        ]
+        operands = [lengths2_smem, starts, p1_t, p2, gidx_arr]
+    else:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tile_p2, D), lambda n, i, j, *_p: (n, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands = [lengths2_smem, p1_t, p2]
     if chained:
         lb_d, lb_i = lb
         # Row 1 = nextafter(lbd): "d > lbd" becomes "d >= row1" (f32 d
@@ -911,7 +1081,7 @@ def knn_forward_pallas(
             )
         in_specs.append(
             pl.BlockSpec(
-                (1, 3, CW), lambda n, i, j, _l: (n, 0, i),
+                (1, 3, CW), lambda n, i, j, *_p: (n, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -935,13 +1105,13 @@ def knn_forward_pallas(
             )
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, CW), lambda n, i, j, _l: (n, 0, i),
+                (1, 1, CW), lambda n, i, j, *_p: (n, 0, i),
                 memory_space=pltpu.VMEM,
             )
         )
         operands.append(ub_arr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if carried else 1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1078,7 +1248,7 @@ def _bigk_round_bounds(
 
 def _knn_forward_pallas_bigk(
     p1, p2, lengths2, K, norm, tile_p1, tile_p2, interpret, gf=None,
-    round_k=None, sample_bound=None, sample_s=None,
+    round_k=None, sample_bound=None, sample_s=None, cand_ids=None,
 ):
     """K > 64 via round chaining (all rounds inside one XLA program, one
     kernel compilation): round r re-runs the 64-key kernel admitting only
@@ -1109,7 +1279,8 @@ def _knn_forward_pallas_bigk(
             d, i = knn_forward_pallas(
                 p1, p2, lengths2, Kc, norm, tile_p1, tile_p2, interpret,
                 lb=lb, ub=None if taus is None else taus[r], gf=gf,
-                round_k=Kc,
+                round_k=Kc, sort_queries=False, sort_candidates=False,
+                cand_ids=cand_ids,
             )
             ds.append(d)
             idxs.append(i)

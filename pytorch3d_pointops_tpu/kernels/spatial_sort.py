@@ -42,15 +42,17 @@ def _part1by2(u: Array) -> Array:
     return u
 
 
-def morton_code(p: Array) -> Array:
+def morton_code(p: Array, lo: Array = None, hi: Array = None) -> Array:
     """(N, P, D<=3) f32 -> (N, P) int32 Morton codes, 10 bits per axis on
-    the per-cloud bounding box.  Degenerate boxes (or garbage pad rows)
-    only degrade locality, never correctness — the codes order work, not
-    results.  D > 3 uses the first three axes (locality in a 3D slice
-    still correlates admissions; correctness is unaffected)."""
+    the per-cloud bounding box (or the explicit (N, 1, D) box ``lo``/``hi``
+    — pass a JOINT box when codes from two clouds must be comparable on
+    one curve).  Degenerate boxes (or garbage pad rows) only degrade
+    locality, never correctness — the codes order work, not results.
+    D > 3 uses the first three axes (locality in a 3D slice still
+    correlates admissions; correctness is unaffected)."""
     p = p[..., :3]
-    lo = p.min(axis=1, keepdims=True)
-    hi = p.max(axis=1, keepdims=True)
+    lo = p.min(axis=1, keepdims=True) if lo is None else lo[..., :3]
+    hi = p.max(axis=1, keepdims=True) if hi is None else hi[..., :3]
     q = (p - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0
     q = jnp.clip(q, 0.0, 1023.0).astype(jnp.int32)
     code = _part1by2(q[..., 0])
